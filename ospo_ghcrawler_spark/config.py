@@ -1,0 +1,108 @@
+"""Run configuration for the crawl engine.
+
+Mirrors the reference's throughput-shaping constants
+(/root/reference/lib/crawlerFactory.js:54-115) as a frozen dataclass that the
+driver broadcasts by closure into every superstep job.  Unlike the reference's
+live JSON-patchable config (routes/config.js:12-18), a config here is immutable
+for a run; "live" changes happen between supersteps by constructing a new run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+# Queue pop weights, reference /root/reference/lib/crawlerFactory.js:80
+# {events: 10, immediate: 3, soon: 2, normal: 3, later: 2}
+DEFAULT_WEIGHTS: dict[int, int] = {0: 10, 1: 3, 2: 2, 3: 3, 4: 2}
+
+PRIORITY_EVENTS = 0
+PRIORITY_IMMEDIATE = 1
+PRIORITY_SOON = 2
+PRIORITY_NORMAL = 3
+PRIORITY_LATER = 4
+
+PRIORITY_NAMES = {
+    PRIORITY_EVENTS: "events",
+    PRIORITY_IMMEDIATE: "immediate",
+    PRIORITY_SOON: "soon",
+    PRIORITY_NORMAL: "normal",
+    PRIORITY_LATER: "later",
+}
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """All knobs of one crawl run.  Defaults trace to the reference's
+    defaults (file:line cited per field)."""
+
+    # --- selection / batching ---------------------------------------------
+    # rows selected per superstep; analog of AMQP prefetch credit=100
+    # (/root/reference/lib/crawlerFactory.js:79) scaled up for batch execution
+    batch_size: int = 1000
+    # per-host fetches per superstep window; analog of token callCapLimit=30
+    # per 1s window (/root/reference/lib/crawlerFactory.js:68-69)
+    host_budget: int = 30
+    # weighted interleave of the five priority queues
+    # (/root/reference/lib/crawlerFactory.js:80)
+    weights: dict[int, int] = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
+    # strict priority preemption: if True, quota leftover spills to the next
+    # priority level (reference QueueSet pops best-effort in weight order)
+    spill_quota: bool = True
+
+    # --- politeness / budgets ---------------------------------------------
+    # per-host compute budget in simulated latency ms per window; analog of
+    # computeLimit=15000ms/15s (/root/reference/lib/crawlerFactory.js:70-72)
+    compute_budget_ms: int = 15_000
+    # penalty supersteps a host is benched when over budget; analog of
+    # "exhaust until now + window/4"
+    # (/root/reference/providers/limiting/computeLimiter.js:50-55)
+    bench_supersteps: int = 1
+    # defer wake-up in supersteps; analog of deferDelay=500ms
+    # (/root/reference/lib/crawlerFactory.js:74)
+    defer_supersteps: int = 1
+
+    # --- retry / dead-letter ----------------------------------------------
+    # attempts before a request is dead-lettered (reference redelivers up to
+    # MaxDeliveryCount, /root/reference/providers/queuing/
+    # serviceBusQueueManager.js:93; we cap realistically)
+    max_attempts: int = 5
+    # retry of failed event work re-enters at priority=immediate, mirroring
+    # _retryQueue='immediate' (/root/reference/lib/crawlerFactory.js:678)
+    retry_priority: int = PRIORITY_IMMEDIATE
+
+    # --- traversal scope ----------------------------------------------------
+    max_depth: int = 10
+    # host allow-list (None = all); analog of the org filter
+    # (/root/reference/lib/crawlerFactory.js:633-650)
+    allowed_hosts: tuple[str, ...] | None = None
+
+    # --- seen-set / dedup ---------------------------------------------------
+    # bloom shards (by url_hash range) and bits per shard; sized so the same
+    # code path scales to 10^10 urls by raising shard count, not shard size
+    bloom_shards: int = 16
+    bloom_bits_per_shard: int = 1 << 20
+    bloom_hashes: int = 7
+    use_bloom: bool = True
+
+    # --- partitioning / skew -----------------------------------------------
+    # frontier is hash-partitioned by host_salt = xxhash64(host) % partitions
+    frontier_partitions: int = 32
+    # hosts owning more than this share of the selected batch get salt fan-out
+    hot_host_fanout_threshold: int = 1000
+
+    # --- misc ---------------------------------------------------------------
+    seed: int = 42
+    simulate_fetch_failure_every: int = 0  # 0 = never; N = every Nth url_hash fails once
+
+    def with_(self, **kw) -> "CrawlConfig":
+        return replace(self, **kw)
+
+    @property
+    def total_weight(self) -> int:
+        return sum(self.weights.values())
+
+    def priority_quota(self, priority: int) -> int:
+        """Per-superstep row quota for a priority level: batch * w_p / sum(w)."""
+        w = self.weights.get(priority, 0)
+        return max(1, (self.batch_size * w) // self.total_weight) if w else 0

@@ -1,0 +1,131 @@
+"""Frozen HTML link + text extraction as vectorized Arrow/pandas UDFs.
+
+The reference's processor walks a fetched document and emits child requests
+(GitHubProcessor contract, golden traversal at
+/root/reference/test/unit/processingTests.js:20-44); the web-domain analog is
+link extraction from ``<a href>`` plus text extraction. The extractor is a
+**frozen, pure-regex implementation committed with golden fixtures** — no
+third-party parser whose version drift could break the byte-identical-per-url
+invariant (BASELINE.json input_hint).
+
+Text extraction contract (deterministic, documented, pinned by tests):
+
+1. drop ``<script>``/``<style>`` elements and HTML comments;
+2. replace every remaining tag with a single ``\\n`` separator;
+3. decode the five standard entities (&amp; &lt; &gt; &quot; &#39;);
+4. collapse runs of whitespace-around-newlines to one ``\\n``, collapse runs
+   of spaces/tabs to one space, strip each line, drop empty lines;
+5. join lines with ``\\n`` (no trailing newline).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ospo_ghcrawler_spark.functions.urls import canonicalize_url
+
+_RE_SCRIPT = re.compile(rb"<script\b.*?</script\s*>", re.IGNORECASE | re.DOTALL)
+_RE_STYLE = re.compile(rb"<style\b.*?</style\s*>", re.IGNORECASE | re.DOTALL)
+_RE_COMMENT = re.compile(rb"<!--.*?-->", re.DOTALL)
+_RE_TAG = re.compile(rb"<[^>]*>")
+_RE_HREF = re.compile(
+    rb"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+_RE_SPACES = re.compile(r"[ \t\r\f\v]+")
+
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+]
+
+
+def extract_text(html: bytes | None) -> str | None:
+    """Frozen text extraction (see module docstring for the contract)."""
+    if html is None:
+        return None
+    body = _RE_COMMENT.sub(b"", html)
+    body = _RE_SCRIPT.sub(b"", body)
+    body = _RE_STYLE.sub(b"", body)
+    body = _RE_TAG.sub(b"\n", body)
+    text = body.decode("utf-8", errors="replace")
+    for ent, ch in _ENTITIES:
+        text = text.replace(ent, ch)
+    lines = []
+    for raw_line in text.split("\n"):
+        line = _RE_SPACES.sub(" ", raw_line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+def _resolve(base: str, href: str) -> str | None:
+    """Minimal deterministic URL resolution: absolute, host-relative,
+    path-relative (no ``..`` support — the synthetic corpus never emits it)."""
+    if not href or href.startswith(("javascript:", "mailto:", "data:")):
+        return None
+    if "://" in href:
+        return canonicalize_url(href)
+    if href.startswith("//"):
+        scheme = base.split("://", 1)[0]
+        return canonicalize_url(f"{scheme}:{href}")
+    origin_end = base.find("/", base.find("://") + 3)
+    origin = base if origin_end < 0 else base[:origin_end]
+    if href.startswith("/"):
+        return canonicalize_url(origin + href)
+    base_path = "/" if origin_end < 0 else base[origin_end:]
+    base_dir = base_path.rsplit("/", 1)[0] + "/"
+    return canonicalize_url(origin + base_dir + href)
+
+
+def extract_links(html: bytes | None, base_url: str) -> list[str]:
+    """All ``<a href>`` targets, resolved against *base_url* and
+    canonicalized; de-duplicated preserving first-occurrence order."""
+    if html is None:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for m in _RE_HREF.finditer(html):
+        raw = next(g for g in m.groups() if g is not None)
+        href = raw.decode("utf-8", errors="replace").strip()
+        resolved = _resolve(base_url, href)
+        if resolved is not None and resolved not in seen:
+            seen.add(resolved)
+            out.append(resolved)
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_links(h, b) for h, b in zip(html, base_url)], index=html.index
+    )
+
+
+def extract_pages_map_in_pandas(schema_out: T.StructType):
+    """``mapInPandas`` variant fusing text+link extraction in one Arrow pass —
+    avoids materializing html twice when both outputs are needed (the hot path
+    of the superstep)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["text"] = pdf["html"].map(extract_text)
+            pdf["links"] = [
+                extract_links(h, u) for h, u in zip(pdf["html"], pdf["url"])
+            ]
+            yield pdf[[f.name for f in schema_out.fields]]
+
+    return fn

@@ -1,0 +1,145 @@
+"""URL canonicalization, host extraction, and hashing — the identity layer.
+
+Everything in the engine joins on ``url_hash = xxhash64(canonical_url)``.
+The reference's identity layer is ``request.toUniqueString()`` (used at
+/root/reference/providers/queuing/redisRequestTracker.js:137 and
+/root/reference/providers/queuing/attenuatedQueue.js:27) plus the URN→blob-path
+rewrite (/root/reference/providers/storage/storageDocStore.js:191-215), which
+lowercases and normalizes URLs; we canonicalize once at the ingestion edge and
+hash with Spark's JVM-side xxhash64 so no Python ever recomputes identity.
+
+Two implementations, pinned byte-identical by tests:
+
+- :func:`canonicalize_url` — pure Python (frozen; no third-party parser), used
+  inside the vectorized pandas link-extraction UDF;
+- :func:`canonicalize_col` — pyspark.sql.functions expression (JVM, codegen),
+  used when the input is already a column of raw URLs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Frozen canonical form: lowercase scheme+host, strip default port,
+    drop fragment, sort query params, ensure non-empty path.
+
+    Returns None for non-http(s) or malformed input (callers filter nulls).
+    Pure string slicing — no urllib — so behavior never drifts with the
+    standard library.
+    """
+    if not url:
+        return None
+    u = url.strip()
+    # fragment
+    h = u.find("#")
+    if h >= 0:
+        u = u[:h]
+    s = u.find("://")
+    if s <= 0:
+        return None
+    scheme = u[:s].lower()
+    if scheme not in ("http", "https"):
+        return None
+    rest = u[s + 3 :]
+    if not rest:
+        return None
+    # split authority / path?query
+    slash = rest.find("/")
+    if slash < 0:
+        authority, pathq = rest, "/"
+    else:
+        authority, pathq = rest[:slash], rest[slash:]
+    # userinfo (rare) — keep as-is minus case on host only
+    at = authority.rfind("@")
+    userinfo = authority[: at + 1] if at >= 0 else ""
+    hostport = authority[at + 1 :] if at >= 0 else authority
+    if not hostport:
+        return None
+    colon = hostport.rfind(":")
+    if colon >= 0 and hostport[colon + 1 :].isdigit():
+        host, port = hostport[:colon], hostport[colon + 1 :]
+    else:
+        host, port = hostport, ""
+    host = host.lower().rstrip(".")
+    if not host:
+        return None
+    if port == _DEFAULT_PORTS.get(scheme, ""):
+        port = ""
+    # query param sort (stable, keeps duplicates)
+    q = pathq.find("?")
+    if q >= 0:
+        path, query = pathq[:q], pathq[q + 1 :]
+        if query:
+            query = "&".join(sorted(query.split("&")))
+            pathq = f"{path}?{query}"
+        else:
+            pathq = path
+    if not pathq:
+        pathq = "/"
+    netloc = f"{userinfo}{host}:{port}" if port else f"{userinfo}{host}"
+    return f"{scheme}://{netloc}{pathq}"
+
+
+def host_of(url: str) -> str | None:
+    """Host component of an (already canonical) URL."""
+    c = canonicalize_url(url)
+    if c is None:
+        return None
+    rest = c.split("://", 1)[1]
+    authority = rest.split("/", 1)[0]
+    host = authority.rsplit("@", 1)[-1]
+    return host.rsplit(":", 1)[0] if ":" in host and host.rsplit(":", 1)[-1].isdigit() else host
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) canonicalizer for raw URL columns."""
+    return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
+
+
+def canonicalize_col(col: Column) -> Column:
+    """JVM-side canonicalizer for the common case (no userinfo, no port
+    games): lower scheme+host, strip fragment, sort query, default path.
+
+    Kept semantically aligned with :func:`canonicalize_url` for the URL shapes
+    the engine generates; the pandas UDF is the general/fallback path.
+    """
+    no_frag = F.substring_index(col, "#", 1)
+    scheme = F.lower(F.substring_index(no_frag, "://", 1))
+    after = F.substring_index(no_frag, "://", -1)
+    authority = F.substring_index(after, "/", 1)
+    pathq = after.substr(F.length(authority) + 1, F.lit(1 << 30))
+    host = F.lower(authority)
+    host = (
+        F.when(host.endswith(":80") & (scheme == "http"), host.substr(F.lit(1), F.length(host) - 3))
+        .when(host.endswith(":443") & (scheme == "https"), host.substr(F.lit(1), F.length(host) - 4))
+        .otherwise(host)
+    )
+    path = F.substring_index(pathq, "?", 1)
+    query = F.when(F.instr(pathq, "?") > 0, pathq.substr(F.instr(pathq, "?") + 1, F.lit(1 << 30)))
+    sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    pathq_canon = F.when(
+        query.isNotNull() & (F.length(query) > 0), F.concat(path, F.lit("?"), sorted_query)
+    ).otherwise(F.when(F.length(path) > 0, path).otherwise(F.lit("/")))
+    ok = (F.instr(col, "://") > 1) & scheme.isin("http", "https") & (F.length(host) > 0)
+    return F.when(ok, F.concat(scheme, F.lit("://"), host, pathq_canon))
+
+
+def host_col(url: Column) -> Column:
+    """Host of a canonical URL column (JVM-side)."""
+    after = F.substring_index(url, "://", -1)
+    authority = F.substring_index(after, "/", 1)
+    no_user = F.substring_index(authority, "@", -1)
+    return F.substring_index(no_user, ":", 1)
+
+
+def url_hash_col(url: Column) -> Column:
+    """xxhash64 of the canonical URL — the engine-wide join identity."""
+    return F.xxhash64(url)

@@ -1,0 +1,378 @@
+"""The crawl engine: batch-iterative superstep loop over snapshot tables.
+
+One superstep = the reference's ``crawler.processOne`` (single-stepped by
+/root/reference/test/unit/processingTests.js:48-51) generalized to a whole
+batch and compiled to one Spark DAG per stage:
+
+    select → politeness filter → fetch → extract (fused Arrow pass) →
+    explode links → dedup (attenuation + bloom/anti-join seen) →
+    commit (pages append, seen append, frontier overwrite, metrics append,
+    deadletters append, bloom sidecar, run-manifest entry)
+
+Determinism: every selection is a pure function of table state with
+total-order tie-breakers (priority, enqueue_step, seq, url_hash), timestamps
+are logical superstep indices, and new-edge sequence numbers are assigned by a
+sorted window — so the crawl order and final seen-set are identical at any
+parallelism level (local[8] vs local[32] vs a 1000-executor cluster), which is
+what makes the run exactly resumable and the scaling bench honest.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ospo_ghcrawler_spark.config import PRIORITY_NORMAL, CrawlConfig
+from ospo_ghcrawler_spark.functions.extract import extract_pages_map_in_pandas
+from ospo_ghcrawler_spark.functions.urls import canonicalize_udf, host_col
+from ospo_ghcrawler_spark.operators.dedup import (
+    BloomFamily,
+    attenuate,
+    build_bloom_distributed,
+    seen_filter,
+)
+from ospo_ghcrawler_spark.operators.fetch import simulated_fetch
+from ospo_ghcrawler_spark.operators.politeness import (
+    compute_limiter_benches,
+    effective_host_budget,
+    robots_allowed_filter,
+)
+from ospo_ghcrawler_spark.plans.catalog import Catalog
+from ospo_ghcrawler_spark.plans.selection import select_batch
+from ospo_ghcrawler_spark.schemas import FRONTIER_SCHEMA
+
+Fetcher = Callable[[DataFrame, DataFrame, CrawlConfig], DataFrame]
+
+_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("attempt", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("enqueue_step", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("fetch_salt", T.IntegerType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("fetch_ms", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+class Crawler:
+    """Drives a crawl run over a Catalog of snapshot tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog_root: str,
+        corpus: DataFrame,
+        robots: DataFrame,
+        cfg: CrawlConfig | None = None,
+        run_id: str = "run",
+        fetcher: Fetcher = simulated_fetch,
+    ):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.catalog = Catalog(spark, catalog_root)
+        self.corpus = corpus
+        self.robots = robots.cache()
+        self.host_budgets = effective_host_budget(self.robots, self.cfg).cache()
+        self.fetcher = fetcher
+        self.run_id = run_id
+        self.manifest = self.catalog.run_manifest(run_id)
+        self.bloom: BloomFamily | None = (
+            BloomFamily(self.cfg.bloom_shards, self.cfg.bloom_bits_per_shard, self.cfg.bloom_hashes)
+            if self.cfg.use_bloom
+            else None
+        )
+        self.step = 0
+
+    # ------------------------------------------------------------------ seed
+
+    def _frontier_rows(self, urls: list[str], priority: int, step: int) -> DataFrame:
+        p = self.cfg.frontier_partitions
+        df = self.spark.createDataFrame(
+            [(u, i) for i, u in enumerate(urls)], ["url", "seq"]
+        ).withColumn("seq", F.col("seq").cast("long"))
+        # canonicalize at the ingestion edge (identity layer); junk → null → dropped
+        df = df.withColumn("url", canonicalize_udf("url")).filter(F.col("url").isNotNull())
+        return (
+            df.withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("host", host_col(F.col("url")))
+            .withColumn("host_salt", F.pmod(F.xxhash64("host"), F.lit(p)).cast("int"))
+            .withColumn("priority", F.lit(priority).cast("int"))
+            .withColumn("attempt", F.lit(0))
+            .withColumn("depth", F.lit(0))
+            .withColumn("enqueue_step", F.lit(step).cast("int"))
+            .withColumn("not_before_step", F.lit(step).cast("int"))
+            .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        )
+
+    def seed(self, urls: list[str], priority: int = PRIORITY_NORMAL) -> int:
+        """Seed URLs onto the frontier (the reference's POST /requests,
+        default queue 'normal' — /root/reference/routes/requests.js:22-28).
+        Deduped against seen + frontier before append."""
+        rows = self._frontier_rows(urls, priority, self.step)
+        rows = attenuate(rows)
+        rows = robots_allowed_filter(rows, self.robots)
+        seen = self.catalog.table("seen").read()
+        rows = seen_filter(rows, seen, fam=None)  # seeds are few — exact join
+        frontier_t = self.catalog.table("frontier")
+        rows = rows.join(frontier_t.read().select("url_hash"), "url_hash", "left_anti")
+        frontier_t.append(rows.select(*[f.name for f in FRONTIER_SCHEMA.fields]))
+        return frontier_t.current_snapshot()
+
+    # -------------------------------------------------------------- superstep
+
+    def superstep(self) -> dict:
+        """Run one superstep; returns its stats. Empty selection → {}.
+
+        Stage citations: selection §2.1 Q2/Q10, politeness §2.3 R1-R5,
+        fetch §2.4 F1, extract §2.4 F2, dedup §2.2 D1-D3, commit §2.1 Q3 +
+        §2.5 S1/S6 of SURVEY.md.
+        """
+        cfg, step = self.cfg, self.step
+        frontier_t = self.catalog.table("frontier")
+        seen_t = self.catalog.table("seen")
+
+        frontier = frontier_t.read().cache()
+        metrics_prev = self.catalog.table("metrics").read()
+        benches = compute_limiter_benches(metrics_prev, cfg, step)
+        eligible_frontier = (
+            frontier.join(F.broadcast(benches), on="host", how="left")
+            .withColumn(
+                "not_before_step",
+                F.greatest("not_before_step", F.coalesce("bench_until", F.lit(0))),
+            )
+            .drop("bench_until")
+        )
+
+        selected = select_batch(eligible_frontier, self.host_budgets, cfg, step).cache()
+        n_selected = selected.count()
+        if n_selected == 0:
+            frontier.unpersist()
+            return {}
+
+        # fetch + fused text/link extraction, repartitioned by fetch_salt so a
+        # hot host cannot straggle one task
+        fetched = self.fetcher(
+            selected.repartition(cfg.frontier_partitions, "fetch_salt"), self.corpus, cfg
+        )
+        extracted = fetched.mapInPandas(
+            extract_pages_map_in_pandas(_EXTRACT_SCHEMA), schema=_EXTRACT_SCHEMA
+        )
+        extracted = extracted.cache()
+
+        ok = extracted.filter(F.col("status") == 200)
+        gone = extracted.filter(F.col("status") == 404)
+        failed = extracted.filter(F.col("status") >= 500)
+
+        # ---- new edges: explode → scope/robots → dedup → sequence ----------
+        links = (
+            ok.select("seq", F.posexplode("links").alias("pos", "url"))
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("host", host_col(F.col("url")))
+        )
+        parent_depth = ok.select(F.col("seq").alias("_pseq"), F.col("depth").alias("_pdepth"))
+        edges = (
+            links.join(parent_depth, links["seq"] == parent_depth["_pseq"], "inner")
+            .withColumn("depth", F.col("_pdepth") + 1)
+            .drop("_pseq", "_pdepth")
+            .filter(F.col("depth") <= cfg.max_depth)
+        )
+        if cfg.allowed_hosts is not None:
+            edges = edges.filter(F.col("host").isin(*cfg.allowed_hosts))
+        edges = robots_allowed_filter(edges, self.robots)
+
+        # attenuation: first-occurrence wins deterministically (parent seq, pos)
+        w_first = Window.partitionBy("url_hash").orderBy("seq", "pos")
+        edges = (
+            edges.withColumn("_rk", F.row_number().over(w_first))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        n_edges_raw = edges.count()
+
+        seen = seen_t.read()
+        edges = seen_filter(edges, seen, fam=self.bloom)
+        # also anti-join what's still on the frontier (tracker semantics, D2)
+        edges = edges.join(frontier.select("url_hash"), "url_hash", "left_anti")
+        # ... and this superstep's own fetches (their seen rows commit below)
+        edges = edges.join(selected.select("url_hash"), "url_hash", "left_anti")
+
+        w_seq = Window.orderBy("seq", "pos")
+        new_rows = (
+            edges.withColumn(
+                "seq", (F.lit(step + 1) * F.lit(1 << 32) + F.row_number().over(w_seq)).cast("long")
+            )
+            .withColumn("host_salt", F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_partitions)).cast("int"))
+            .withColumn("priority", F.lit(PRIORITY_NORMAL).cast("int"))
+            .withColumn("attempt", F.lit(0))
+            .withColumn("enqueue_step", F.lit(step + 1).cast("int"))
+            .withColumn("not_before_step", F.lit(step + 1).cast("int"))
+            .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        ).cache()
+        n_new = new_rows.count()
+
+        # ---- retries & dead letters ----------------------------------------
+        retry = (
+            failed.filter(F.col("attempt") + 1 < cfg.max_attempts)
+            .withColumn("attempt", (F.col("attempt") + 1).cast("int"))
+            .withColumn(
+                "priority",
+                F.when(F.col("priority") <= 1, F.lit(cfg.retry_priority)).otherwise(
+                    F.col("priority")
+                ).cast("int"),
+            )
+            .withColumn("not_before_step", F.lit(step + cfg.defer_supersteps).cast("int"))
+            .withColumn("host_salt", F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_partitions)).cast("int"))
+            .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        )
+        dead = (
+            failed.filter(F.col("attempt") + 1 >= cfg.max_attempts)
+            .select(
+                "url",
+                "url_hash",
+                "host",
+                F.lit("fetch_failed").alias("error"),
+                (F.col("attempt") + 1).cast("int").alias("attempt"),
+                F.col("enqueue_step").alias("first_seen_step"),
+                F.lit(step).cast("int").alias("last_error_step"),
+            )
+        )
+
+        # ---- settled + metrics ----------------------------------------------
+        settled = extracted.filter(F.col("status") < 500)  # 200 & 404 leave the frontier
+        new_seen = settled.select(
+            "url_hash", "url", F.lit(step).cast("int").alias("first_seen_step"), "status"
+        )
+        harvest = ok.select(
+            "url",
+            "warc_ts",
+            "html",
+            "text",
+            "lang",
+            "url_hash",
+            "host",
+            "depth",
+            F.lit(step).cast("int").alias("superstep"),
+            "status",
+            "fetch_ms",
+        )
+        metrics = (
+            extracted.groupBy("host")
+            .agg(
+                F.count("*").alias("selected"),
+                F.sum((F.col("status") == 200).cast("long")).alias("fetched_ok"),
+                F.sum((F.col("status") == 404).cast("long")).alias("fetched_404"),
+                F.sum((F.col("status") >= 500).cast("long")).alias("failed"),
+                F.sum("fetch_ms").alias("fetch_ms_sum"),
+                F.sum(F.coalesce(F.length("html"), F.lit(0)).cast("long")).alias("bytes"),
+            )
+            .withColumn("superstep", F.lit(step).cast("int"))
+            .withColumn("new_edges", F.lit(0).cast("long"))
+            .withColumn("dedup_bounced", F.lit(0).cast("long"))
+            .select(*[f.name for f in self.catalog.table("metrics").schema.fields])
+        )
+        # per-step edge/dedup counts ride on a synthetic "__run__" row
+        run_row = self.spark.createDataFrame(
+            [(step, "__run__", n_selected, 0, 0, 0, n_new, n_edges_raw - n_new, 0, 0)],
+            schema=self.catalog.table("metrics").schema,
+        )
+
+        # ---- next frontier ----------------------------------------------------
+        remaining = frontier.join(selected.select("url_hash"), "url_hash", "left_anti")
+        next_frontier = remaining.unionByName(retry).unionByName(new_rows).select(
+            *[f.name for f in FRONTIER_SCHEMA.fields]
+        )
+
+        # ---- commit (snapshot per table + run-manifest entry) ----------------
+        self.catalog.table("pages").append(harvest)
+        seen_t.append(new_seen)
+        self.catalog.table("deadletters").append(dead)
+        self.catalog.table("metrics").append(metrics.unionByName(run_row))
+        frontier_t.overwrite(next_frontier)
+
+        if self.bloom is not None:
+            # distributed bitmap build (only shard bitmaps reach the driver) —
+            # the same path that holds at 10^10 urls/superstep
+            delta = build_bloom_distributed(
+                new_seen, "url_hash", self.bloom.shards, self.bloom.bits, self.bloom.k
+            )
+            self.bloom.bitmaps |= delta.bitmaps
+            self.bloom.save(self._bloom_path(step))
+
+        stats = {
+            "selected": n_selected,
+            "new_edges": n_new,
+            "bounced": int(n_edges_raw - n_new),
+        }
+        self.manifest.record(
+            step,
+            {name: self.catalog.table(name).current_snapshot()
+             for name in ("frontier", "pages", "seen", "deadletters", "metrics")},
+            stats,
+        )
+        for df in (frontier, selected, extracted, new_rows):
+            df.unpersist()
+        self.step = step + 1
+        return stats
+
+    def _bloom_path(self, step: int) -> str:
+        d = os.path.join(self.catalog.root, "_bloom")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"bloom_{step:06d}.npz")
+
+    # ------------------------------------------------------------------- run
+
+    def run(self, max_supersteps: int = 1000) -> dict:
+        """Crawl to frontier exhaustion (or the superstep cap)."""
+        totals = {"supersteps": 0, "selected": 0, "new_edges": 0, "bounced": 0}
+        for _ in range(max_supersteps):
+            stats = self.superstep()
+            if not stats:
+                break
+            totals["supersteps"] += 1
+            for k in ("selected", "new_edges", "bounced"):
+                totals[k] += stats[k]
+        return totals
+
+    # ---------------------------------------------------------------- resume
+
+    @classmethod
+    def resume(
+        cls,
+        spark: SparkSession,
+        catalog_root: str,
+        corpus: DataFrame,
+        robots: DataFrame,
+        cfg: CrawlConfig | None = None,
+        run_id: str = "run",
+        fetcher: Fetcher = simulated_fetch,
+    ) -> "Crawler":
+        """Reopen a run exactly where its last committed superstep left it:
+        roll every table back to the manifest's snapshot ids and reload the
+        bloom sidecar (north-rule exact-resume requirement)."""
+        c = cls(spark, catalog_root, corpus, robots, cfg, run_id, fetcher)
+        last = c.manifest.last()
+        if last is None:
+            return c
+        for name, sid in last["tables"].items():
+            c.catalog.table(name).set_current(sid)
+        c.step = last["superstep"] + 1
+        if c.bloom is not None:
+            path = c._bloom_path(last["superstep"])
+            if os.path.exists(path):
+                c.bloom = BloomFamily.load(path)
+        return c

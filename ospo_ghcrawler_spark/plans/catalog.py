@@ -1,0 +1,192 @@
+"""Snapshot-table storage seam: Iceberg semantics over plain parquet.
+
+The engine needs exactly three table semantics from its store:
+
+1. ``append(df)``  — add rows, new snapshot (Iceberg ``.writeTo().append()``);
+2. ``overwrite(df)`` — replace contents, new snapshot (Iceberg ``MERGE`` /
+   ``overwritePartitions``);
+3. ``set_current(snapshot_id)`` — roll the table back for exact resume
+   (Iceberg ``rollback_to_snapshot``).
+
+The sandbox has pyspark 4.1.2 with **no Iceberg runtime jar**, so this module
+implements those semantics directly over parquet snapshot directories plus a
+JSON manifest — same contract, swappable for a real Iceberg catalog by
+replacing this one class (`SnapshotTable`) with `spark.table`/`writeTo` calls.
+
+Reference analog: the hourly delta log + blob doc store
+(/root/reference/providers/storage/deltaStore.js:26-31,94-106 and
+storageDocStore.js:33-58) — every upsert leaves an append-only trail; here
+every superstep commit is one snapshot and the trail is the snapshot chain.
+
+Layout::
+
+    root/<table>/_manifest.json          {"current": 3, "snapshots": [...]}
+    root/<table>/s00000001-overwrite/    parquet files
+    root/<table>/s00000002-append/       parquet files (delta since parent)
+
+A read at snapshot *n* unions the append chain back to the most recent
+overwrite at-or-before *n*. Manifest writes are atomic (tmp + os.replace).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str, name: str, schema: T.StructType):
+        self.spark = spark
+        self.name = name
+        self.dir = os.path.join(root, name)
+        self.schema = schema
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, "_manifest.json")
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"current": 0, "snapshots": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _store(self, m: dict) -> None:
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path)
+
+    def current_snapshot(self) -> int:
+        return self._load()["current"]
+
+    def snapshots(self) -> list[dict]:
+        return self._load()["snapshots"]
+
+    # -- writes ---------------------------------------------------------------
+
+    def _write(self, df: DataFrame, op: str) -> int:
+        m = self._load()
+        sid = max([s["id"] for s in m["snapshots"]], default=0) + 1
+        final = os.path.join(self.dir, f"s{sid:08d}-{op}")
+        tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+        m["snapshots"].append({"id": sid, "op": op, "parent": m["current"]})
+        m["current"] = sid
+        self._store(m)
+        return sid
+
+    def append(self, df: DataFrame) -> int:
+        return self._write(df, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._write(df, "overwrite")
+
+    def set_current(self, snapshot_id: int) -> None:
+        """Rollback/forward for exact resume (Iceberg rollback_to_snapshot)."""
+        m = self._load()
+        ids = {s["id"] for s in m["snapshots"]} | {0}
+        if snapshot_id not in ids:
+            raise ValueError(f"{self.name}: unknown snapshot {snapshot_id}")
+        m["current"] = snapshot_id
+        self._store(m)
+
+    # -- reads ----------------------------------------------------------------
+
+    def _chain(self, at: int) -> list[str]:
+        """Parquet dirs composing the table state at snapshot *at*."""
+        snaps = {s["id"]: s for s in self._load()["snapshots"]}
+        dirs: list[str] = []
+        sid = at
+        while sid:
+            s = snaps[sid]
+            dirs.append(os.path.join(self.dir, f"s{sid:08d}-{s['op']}"))
+            if s["op"] == "overwrite":
+                break
+            sid = s["parent"]
+        return list(reversed(dirs))
+
+    def read(self, at: int | None = None) -> DataFrame:
+        at = self.current_snapshot() if at is None else at
+        dirs = self._chain(at)
+        if not dirs:
+            return self.spark.createDataFrame([], schema=self.schema)
+        return self.spark.read.schema(self.schema).parquet(*dirs)
+
+    def compact(self) -> int:
+        """Fold the append chain into one overwrite snapshot (Iceberg
+        rewrite_data_files); keeps read fan-in bounded on long runs."""
+        return self.overwrite(self.read())
+
+    def drop_data(self) -> None:
+        shutil.rmtree(self.dir, ignore_errors=True)
+        os.makedirs(self.dir, exist_ok=True)
+
+
+class RunManifest:
+    """Per-run superstep journal: after each superstep commit it records the
+    snapshot id of every table, making the whole crawl exactly resumable
+    (north-rule checkpoint requirement). One JSON file per run, atomic
+    replace per entry."""
+
+    def __init__(self, root: str, run_id: str):
+        self.path = os.path.join(root, "_runs", f"{run_id}.json")
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+
+    def load(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return json.load(f)
+
+    def record(self, superstep: int, table_snapshots: dict[str, int], stats: dict) -> None:
+        entries = [e for e in self.load() if e["superstep"] < superstep]
+        entries.append(
+            {"superstep": superstep, "tables": table_snapshots, "stats": stats}
+        )
+        tmp = self.path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, self.path)
+
+    def last(self) -> dict | None:
+        entries = self.load()
+        return entries[-1] if entries else None
+
+
+class Catalog:
+    """All engine tables under one root; hands out SnapshotTables."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        from ospo_ghcrawler_spark import schemas as S
+
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._schemas = {
+            "frontier": S.FRONTIER_SCHEMA,
+            "pages": S.HARVEST_SCHEMA,
+            "seen": S.SEEN_SCHEMA,
+            "deadletters": S.DEADLETTER_SCHEMA,
+            "metrics": S.METRICS_SCHEMA,
+        }
+        self._tables: dict[str, SnapshotTable] = {}
+
+    def table(self, name: str) -> SnapshotTable:
+        if name not in self._tables:
+            self._tables[name] = SnapshotTable(
+                self.spark, self.root, name, self._schemas[name]
+            )
+        return self._tables[name]
+
+    def run_manifest(self, run_id: str) -> RunManifest:
+        return RunManifest(self.root, run_id)

@@ -1,0 +1,129 @@
+"""Superstep selection — the distributed "pop" of the priority QueueSet.
+
+The reference pops one request at a time from five weighted FIFO queues
+(QueueSet weights {events:10, immediate:3, soon:2, normal:3, later:2},
+/root/reference/lib/crawlerFactory.js:80,573-580). Here a superstep selects a
+whole batch in one deterministic DataFrame plan:
+
+1. eligibility filter — ``not_before_step <= step`` (defer/bench semantics of
+   ``_deferUntil``, /root/reference/providers/queuing/amqp10Queue.js:238-251)
+   and depth/scope caps;
+2. per-host politeness rank — ``row_number() over (partition by host order by
+   priority, enqueue_step, seq)`` kept to the host budget (token call cap);
+3. weighted priority quotas — batch split proportionally to the reference's
+   pop weights, with deterministic spill of unused quota to other priorities
+   (QueueSet's best-effort weighted interleave);
+4. per-priority top-k by FIFO order — ``orderBy(...).limit(q)`` compiles to
+   TakeOrderedAndProject (per-partition top-k + merge), NOT a global sort;
+5. hot-host salting for the fetch stage — hosts over the fan-out threshold
+   get per-url salt so one mega-host spreads across all partitions
+   (north-rule skew defeat).
+
+Everything is a pure function of (frontier state, step) with total-order
+tie-breakers, so the selected set is identical at any parallelism level —
+the property the golden-traversal and resume tests pin.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ospo_ghcrawler_spark.config import CrawlConfig
+
+
+def allocate_quotas(cfg: CrawlConfig, avail: dict[int, int]) -> dict[int, int]:
+    """Deterministic batch split across priorities by pop weight, spilling
+    unused quota to priorities that still have eligible rows."""
+    quotas = {p: 0 for p in cfg.weights}
+    remaining = cfg.batch_size
+    # iterate until no progress: proportional grant capped by availability
+    while remaining > 0:
+        live = {p: w for p, w in cfg.weights.items() if avail.get(p, 0) > quotas[p] and w > 0}
+        if not live:
+            break
+        total_w = sum(live.values())
+        granted = 0
+        for p in sorted(live):  # stable order
+            share = max(1, (remaining * live[p]) // total_w)
+            take = min(share, avail[p] - quotas[p], remaining - granted)
+            quotas[p] += take
+            granted += take
+            if granted >= remaining:
+                break
+        if granted == 0:
+            break
+        remaining -= granted
+        if not cfg.spill_quota:
+            break
+    return quotas
+
+
+def select_batch(
+    frontier: DataFrame,
+    host_budgets: DataFrame,
+    cfg: CrawlConfig,
+    step: int,
+) -> DataFrame:
+    """The selected batch for this superstep (see module docstring)."""
+    eligible = frontier.filter(
+        (F.col("not_before_step") <= step) & (F.col("depth") <= cfg.max_depth)
+    )
+    if cfg.allowed_hosts is not None:
+        eligible = eligible.filter(F.col("host").isin(*cfg.allowed_hosts))
+
+    # per-host politeness rank (many hosts → well-distributed window)
+    w_host = Window.partitionBy("host").orderBy("priority", "enqueue_step", "seq", "url_hash")
+    budgeted = (
+        eligible.join(F.broadcast(host_budgets), on="host", how="left")
+        .withColumn("host_budget", F.coalesce("host_budget", F.lit(cfg.host_budget)))
+        .withColumn("_host_rank", F.row_number().over(w_host))
+        .filter(F.col("_host_rank") <= F.col("host_budget"))
+        .drop("host_budget")
+    )
+    budgeted = budgeted.cache()
+
+    # availability per priority (5 small numbers to the driver)
+    avail = {
+        r["priority"]: r["cnt"]
+        for r in budgeted.groupBy("priority").agg(F.count("*").alias("cnt")).collect()
+    }
+    quotas = allocate_quotas(cfg, avail)
+
+    # per-priority FIFO top-k — TakeOrderedAndProject, no global shuffle
+    picks = [
+        budgeted.filter(F.col("priority") == p)
+        .orderBy("enqueue_step", "seq", "url_hash")
+        .limit(q)
+        for p, q in quotas.items()
+        if q > 0 and avail.get(p, 0) > 0
+    ]
+    if not picks:
+        empty = budgeted.filter(F.lit(False)).drop("_host_rank")
+        budgeted.unpersist()
+        return empty.withColumn("fetch_salt", F.lit(0))
+    selected = reduce(lambda a, b: a.unionByName(b), picks).drop("_host_rank")
+
+    # hot-host salting: spread mega-hosts across all fetch partitions
+    hot = (
+        selected.groupBy("host")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > cfg.hot_host_fanout_threshold)
+        .select("host", F.lit(True).alias("_hot"))
+    )
+    p = cfg.frontier_partitions
+    out = (
+        selected.join(F.broadcast(hot), on="host", how="left")
+        .withColumn(
+            "fetch_salt",
+            F.when(F.col("_hot"), F.pmod(F.xxhash64("url"), F.lit(p)))
+            .otherwise(F.pmod(F.xxhash64("host"), F.lit(p)))
+            .cast("int"),
+        )
+        .drop("_hot", "_n")
+    ).cache()
+    out.count()  # materialize while budgeted is still cached
+    budgeted.unpersist()
+    return out

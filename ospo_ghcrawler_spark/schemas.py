@@ -1,0 +1,100 @@
+"""Declared schemas for every engine table.
+
+The reference moves schema-free row JSON (requests serialized at
+/root/reference/providers/queuing/amqpQueue.js:69, documents at
+/root/reference/providers/storage/storageDocStore.js:36-49); here everything is
+a fixed-schema columnar table so Catalyst can prune/pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# The BASELINE.json input_hint table: Common-Crawl-style web pages.
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# Harvested pages (engine output): input_hint columns + crawl provenance.
+HARVEST_SCHEMA = T.StructType(
+    list(PAGES_SCHEMA.fields)
+    + [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("depth", T.IntegerType(), True),
+        T.StructField("superstep", T.IntegerType(), False),
+        T.StructField("status", T.IntegerType(), False),  # 200 / 404 / 599
+        T.StructField("fetch_ms", T.LongType(), True),
+    ]
+)
+
+# One row per frontier entry — the reference's Request object
+# (/root/reference/routes/requests.js:65-81) as a row.
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("host_salt", T.IntegerType(), False),
+        T.StructField("priority", T.IntegerType(), False),  # 0..4
+        T.StructField("attempt", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        # logical clocks: superstep indices, not wall time, for determinism
+        T.StructField("enqueue_step", T.IntegerType(), False),
+        T.StructField("not_before_step", T.IntegerType(), False),
+        # FIFO tie-breaker within (priority, enqueue_step)
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("first_seen_step", T.IntegerType(), False),
+        T.StructField("status", T.IntegerType(), False),
+    ]
+)
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), True),
+        T.StructField("crawl_delay_ms", T.LongType(), True),
+        T.StructField("budget_per_window", T.IntegerType(), True),
+    ]
+)
+
+DEADLETTER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("attempt", T.IntegerType(), False),
+        T.StructField("first_seen_step", T.IntegerType(), False),
+        T.StructField("last_error_step", T.IntegerType(), False),
+    ]
+)
+
+# Per-superstep per-host lineage + fetch metrics (north rule requirement).
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("superstep", T.IntegerType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("selected", T.LongType(), False),
+        T.StructField("fetched_ok", T.LongType(), False),
+        T.StructField("fetched_404", T.LongType(), False),
+        T.StructField("failed", T.LongType(), False),
+        T.StructField("new_edges", T.LongType(), False),
+        T.StructField("dedup_bounced", T.LongType(), False),
+        T.StructField("fetch_ms_sum", T.LongType(), False),
+        T.StructField("bytes", T.LongType(), False),
+    ]
+)

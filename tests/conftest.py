@@ -1,0 +1,18 @@
+"""Shared SparkSession for the test suite (module-scoped: one JVM)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from ospo_ghcrawler_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cores=8, shuffle_partitions=8)
+    yield s

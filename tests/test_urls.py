@@ -1,0 +1,65 @@
+"""Identity layer: canonicalization must be stable and the JVM/Python
+implementations must agree (everything joins on xxhash64(canonical_url))."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ospo_ghcrawler_spark.functions.urls import (
+    canonicalize_col,
+    canonicalize_udf,
+    canonicalize_url,
+    host_col,
+    host_of,
+)
+
+CASES = [
+    ("http://Example.COM/path", "http://example.com/path"),
+    ("HTTPS://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/p?b=2&a=1", "http://example.com/p?a=1&b=2"),
+    ("http://example.com/p?", "http://example.com/p"),
+    ("http://host0.example/p12", "http://host0.example/p12"),
+    ("ftp://example.com/x", None),
+    ("not a url", None),
+    ("", None),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_canonicalize_python(raw, expected):
+    assert canonicalize_url(raw) == expected
+
+
+def test_host_of():
+    assert host_of("http://Host3.Example/p1?z=1#f") == "host3.example"
+    assert host_of("https://example.com:8443/x") == "example.com"
+
+
+def test_canonicalize_jvm_matches_python(spark):
+    raws = [c for c, e in CASES if e is not None]
+    df = spark.createDataFrame([(r,) for r in raws], ["raw"])
+    got = df.select(canonicalize_col(F.col("raw")).alias("c")).collect()
+    expected = [canonicalize_url(r) for r in raws]
+    assert [r["c"] for r in got] == expected
+
+
+def test_host_col_matches_python(spark):
+    urls = ["http://host3.example/p1", "https://example.com:8443/x", "http://a.b.c/"]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r["h"] for r in df.select(host_col(F.col("url")).alias("h")).collect()]
+    assert got == ["host3.example", "example.com", "a.b.c"]
+
+
+def test_canonicalize_udf_vectorized(spark):
+    df = spark.createDataFrame([(c,) for c, _ in CASES], ["raw"])
+    got = [r["c"] for r in df.select(canonicalize_udf("raw").alias("c")).collect()]
+    assert got == [e for _, e in CASES]
+
+
+def test_canonicalize_idempotent():
+    for raw, expected in CASES:
+        if expected is not None:
+            assert canonicalize_url(expected) == expected
