@@ -1,0 +1,101 @@
+"""Text-analysis column builders for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` expressions (JVM, codegen) chosen to have
+exact DuckDB-SQL equivalents so every op is oracle-checkable:
+
+- token counting (regex word tokens — a BPE-ish approximation),
+- quality scoring (length / punctuation / stopword ratios),
+- n-gram-marker language ID (deterministic argmax over marker-word scores),
+- document fingerprinting (md5 over whitespace-normalized text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_RE = "[A-Za-z0-9]+"
+PUNCT_RE = "[.,;:!?]"
+
+# tiny deterministic marker lists per language (shared with the SQL oracle)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "de", "que", "es"],
+    "it": ["il", "la", "di", "che", "non"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Word tokens (letters+digits runs)."""
+    return F.regexp_extract_all(text, F.lit(WORD_RE), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(F.lower(text))))
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards stopword density and average word
+    length in a sane band, penalizes punctuation soup.  Deterministic integer
+    arithmetic → double, matching the SQL oracle bit-for-bit."""
+    n_tok = token_count(text)
+    n_char = F.length(text)
+    n_punct = punct_count(text)
+    n_stop = stopword_count(text)
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_char, F.lit(1))
+    avg_word = n_char / F.greatest(n_tok, F.lit(1))
+    return (
+        F.least(stop_ratio * 2, F.lit(1.0)) * 0.5
+        + F.when((avg_word >= 3) & (avg_word <= 12), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over lowered text."""
+    lo = F.lower(text)
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.size(F.regexp_extract_all(lo, F.lit(pat), 0))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic argmax over marker scores (ties broken by language-code
+    order, 'und' when all scores are zero)."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best = scores[langs[0]]
+    for lg in langs[1:]:
+        best = F.greatest(best, scores[lg])
+    expr = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties → apply last
+        expr = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def normalized(text: Column) -> Column:
+    """Whitespace-collapsed, lowered, trimmed — the fingerprint base."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    return F.md5(F.encode(normalized(text), "UTF-8"))

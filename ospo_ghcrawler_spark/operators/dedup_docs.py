@@ -1,0 +1,197 @@
+"""Document-level deduplication for training-data pipelines.
+
+Five strategies over a ``documents(doc_id, text, ...)`` table, scaling from
+exact to fuzzy. The reference deduplicates *requests* by unique string
+(/root/reference/providers/queuing/redisRequestTracker.js:17-41); a 100 TB
+text pipeline additionally needs *content* dedup, so these are first-class
+engine operators:
+
+- **exact**: hash-groupBy on md5(text) — one shuffle, map-side combinable;
+- **n-gram Jaccard**: exact similarity via shingle self-join — quadratic in
+  colliding docs, the *oracle* for the fuzzy methods;
+- **MinHash + LSH**: 64 permutations via ``xxhash64(shingle, seed)`` (all
+  JVM-side — no Python), banded into 16×4, candidate pairs from band-bucket
+  self-join, verified by exact Jaccard on candidates only. At scale this is
+  the workhorse: the band join shuffles O(docs × bands) small rows instead of
+  O(docs²) comparisons;
+- **SimHash**: 64-bit sign-aggregated shingle hashes; near-dups = signatures
+  within Hamming distance k (bit tricks JVM-side);
+- **embedding cosine**: see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = N_PERM // BANDS
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical texts: (keep_id = min id, n_dups) per md5 key."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.encode(F.col(text_col), "UTF-8")).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc — all built-in functions:
+    split → sequence → transform(concat_ws) → explode → distinct."""
+    words = F.split(F.col(text_col), r"\s+")
+    # NB: Spark sequence(1, 0) counts DOWN; guard short docs explicitly
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + k) for k in range(n)]
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(F.transform(idx, gram)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (a_id < b_id, jaccard >= threshold) via
+    shingle self-join. Cost ~ sum over shingles of (docs sharing it)^2 —
+    fine when shingle collisions are rare; use minhash_lsh_pairs at scale."""
+    g = shingles(docs, id_col, text_col, n).cache()
+    sizes = g.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = g.alias("a"), g.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perm: int = N_PERM
+) -> DataFrame:
+    """(id, sig_0..sig_{n_perm-1}): n_perm independent min-hashes, each
+    ``min(xxhash64(shingle, seed=p))`` — seeded xxhash64 gives the permutation
+    family with zero Python and map-side partial mins."""
+    g = shingles(docs, id_col, text_col)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"sig_{p}")
+        for p in range(n_perm)
+    ]
+    return g.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = N_PERM,
+    bands: int = BANDS,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified by exact Jaccard.
+
+    band hash = xxhash64(rows of the band) → candidates = pairs sharing any
+    band bucket → exact-Jaccard verification restricted to candidates.
+    With 16 bands × 4 rows, recall at j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9998.
+    """
+    rows = n_perm // bands
+    sig = minhash_signatures(docs, id_col, text_col, n_perm)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, 0.0, id_col, text_col)  # jaccard on demand
+    return (
+        candidates.join(exact, ["a_id", "b_id"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: sum shingle-hash sign contributions per bit,
+    sign of the sum becomes the bit — entirely with shiftright/bitwise ops."""
+    g = shingles(docs, id_col, text_col).withColumn("h", F.xxhash64("shingle"))
+    # per (doc, bit): sum of ±1 → bit = sum > 0
+    bits = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(64)
+    ]
+    agg = g.groupBy(id_col).agg(*bits)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"s_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Pairs within Hamming distance — LSH-banded on 4×16-bit chunks (a pair
+    within distance ≤ max_hamming shares at least one exact chunk when
+    max_hamming < 4 chunks × ...), then exact popcount verification."""
+    sig = simhash(docs, id_col).cache()
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(chunks).alias("cc")).select(
+        id_col, F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -1,0 +1,704 @@
+"""Driver-contract queries: every operator as (Spark callable, oracle SQL).
+
+Each entry exercises one engine operator from SURVEY.md §2 on the driver's
+fixed parquet tables so DuckDB can validate row-count + schema + value-hash
+at sf=0.01 (see ``__spark_entry__.py``). Crawl-domain inputs (frontier,
+politeness events, seen-set) are *derived deterministically from the TPC-H-ish
+tables with SQL-expressible transforms*, so Spark and DuckDB compute the very
+same input — no fixture files needed.
+
+Conventions for oracle parity:
+- every computed column aliased identically in both engines;
+- doubles only from integer arithmetic or identically-ordered folds;
+- ORDER BY is irrelevant (driver hashes order-insensitively) but ties in
+  window ranks are always broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ospo_ghcrawler_spark.functions import text as TXT
+from ospo_ghcrawler_spark.operators import dedup_docs as DD
+from ospo_ghcrawler_spark.operators import multimodal as MM
+from ospo_ghcrawler_spark.operators import similarity as SIM
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+N_HOSTS = 40  # derived-frontier host fan
+HOST_BUDGET = 5  # per-host selection budget (analog of token callCapLimit)
+BATCH = 1000
+WEIGHTS = {0: 10, 1: 3, 2: 2, 3: 3, 4: 2}  # reference crawlerFactory.js:80
+TOTAL_W = sum(WEIGHTS.values())
+SKEW_THRESHOLD = 200  # hot-host fanout threshold for the salting query
+JACCARD_T = 0.8
+HAMMING_K = 8
+TOPK = 5
+N_QUERIES = 20  # embedding query subset: vec_id < 20
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derived_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → frontier rows (url, host, priority, enqueue_ts, seq, attempt).
+
+    Mirrors the reference Request shape (routes/requests.js:65-81) with
+    deterministic SQL-expressible arithmetic shared with the DuckDB oracle.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(
+            F.lit("http://host"),
+            (F.col("o_custkey") % N_HOSTS).cast("string"),
+            F.lit(".example/p"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"), (F.col("o_custkey") % N_HOSTS).cast("string"), F.lit(".example")
+        ).alias("host"),
+        (F.col("o_orderkey") % 5).cast("int").alias("priority"),
+        F.col("o_orderdate").alias("enqueue_ts"),
+        F.col("o_orderkey").alias("seq"),
+        (F.col("o_orderkey") % 8).cast("int").alias("attempt"),
+    )
+
+
+DERIVED_FRONTIER_SQL = f"""
+    SELECT 'http://host' || (o_custkey % {N_HOSTS}) || '.example/p' || o_orderkey AS url,
+           'host' || (o_custkey % {N_HOSTS}) || '.example' AS host,
+           CAST(o_orderkey % 5 AS INTEGER) AS priority,
+           o_orderdate AS enqueue_ts,
+           o_orderkey AS seq,
+           CAST(o_orderkey % 8 AS INTEGER) AS attempt
+    FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# Q: crawl-shaped operators over driver tables
+# ---------------------------------------------------------------------------
+
+
+def q_frontier_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.1 Q2/Q10 — per-host politeness rank + weighted priority
+    quota selection (fixed proportional quotas: batch*w/Σw)."""
+    f = derived_frontier(spark, sf_dir)
+    w_host = Window.partitionBy("host").orderBy("priority", "enqueue_ts", "seq")
+    w_prio = Window.partitionBy("priority").orderBy("enqueue_ts", "seq")
+    quota = F.when(F.col("priority") == 0, BATCH * WEIGHTS[0] // TOTAL_W)
+    for p in range(1, 5):
+        quota = quota.when(F.col("priority") == p, BATCH * WEIGHTS[p] // TOTAL_W)
+    return (
+        f.withColumn("host_rank", F.row_number().over(w_host))
+        .filter(F.col("host_rank") <= HOST_BUDGET)
+        .withColumn("prio_rank", F.row_number().over(w_prio))
+        .filter(F.col("prio_rank") <= quota)
+        .select("url", "host", "priority", "seq", "host_rank", "prio_rank")
+    )
+
+
+Q_FRONTIER_SELECTION_SQL = f"""
+    WITH f AS ({DERIVED_FRONTIER_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority, enqueue_ts, seq) AS host_rank
+      FROM f
+    ),
+    budgeted AS (SELECT * FROM ranked WHERE host_rank <= {HOST_BUDGET}),
+    prio AS (
+      SELECT *, row_number() OVER (PARTITION BY priority ORDER BY enqueue_ts, seq) AS prio_rank
+      FROM budgeted
+    )
+    SELECT url, host, priority, seq, host_rank, prio_rank
+    FROM prio
+    WHERE prio_rank <= CASE priority
+        WHEN 0 THEN {BATCH * WEIGHTS[0] // TOTAL_W}
+        WHEN 1 THEN {BATCH * WEIGHTS[1] // TOTAL_W}
+        WHEN 2 THEN {BATCH * WEIGHTS[2] // TOTAL_W}
+        WHEN 3 THEN {BATCH * WEIGHTS[3] // TOTAL_W}
+        WHEN 4 THEN {BATCH * WEIGHTS[4] // TOTAL_W}
+    END
+"""
+
+
+def q_politeness_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 R1 — fixed-window per-host counter (rate limiter):
+    events bucketed into 1h tumbling windows per derived host."""
+    e = _t(spark, sf_dir, "events")
+    budget = 50
+    return (
+        e.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 16).cast("string")).alias("host"),
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        )
+        .groupBy("host", "window_start")
+        .agg(F.count("*").alias("used"))
+        .withColumn("budget", F.lit(budget))
+        .withColumn("over", F.col("used") > budget)
+    )
+
+
+Q_POLITENESS_WINDOW_SQL = """
+    SELECT 'h' || (user_id % 16) AS host,
+           date_trunc('hour', ts) AS window_start,
+           count(*) AS used,
+           50 AS budget,
+           count(*) > 50 AS over
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 R5 — windowed compute-budget accounting: consumed 'cost'
+    (event value ≈ fetch latency) per host per day vs budget, with remaining
+    and overage (computeLimiter.consume semantics)."""
+    e = _t(spark, sf_dir, "events")
+    budget = 2000.0
+    return (
+        e.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 16).cast("string")).alias("host"),
+            F.date_trunc("day", F.col("ts")).alias("window_start"),
+            F.col("value"),
+        )
+        .groupBy("host", "window_start")
+        .agg(F.sum("value").alias("consumed"), F.min("value").alias("baseline"))
+        .withColumn("remaining", F.greatest(F.lit(budget) - F.col("consumed"), F.lit(0.0)))
+        .withColumn("overage", F.greatest(F.col("consumed") - F.lit(budget), F.lit(0.0)))
+    )
+
+
+Q_TOKEN_BUDGET_SQL = """
+    SELECT 'h' || (user_id % 16) AS host,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           sum(value) AS consumed,
+           min(value) AS baseline,
+           greatest(2000.0 - sum(value), 0.0) AS remaining,
+           greatest(sum(value) - 2000.0, 0.0) AS overage
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.2 D2/D3 — tracker/seen dedup as a left-anti join: candidate
+    urls (from lineitem partkeys) minus seen urls (parts with p_partkey%3=0)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cands = li.select(
+        F.concat(F.lit("http://parts.example/p"), F.col("l_partkey").cast("string")).alias("url"),
+        F.col("l_partkey").alias("key"),
+    ).distinct()
+    seen = p.filter(F.col("p_partkey") % 3 == 0).select(
+        F.concat(F.lit("http://parts.example/p"), F.col("p_partkey").cast("string")).alias("url")
+    )
+    return cands.join(seen, "url", "left_anti").select("url", "key")
+
+
+Q_SEEN_ANTIJOIN_SQL = """
+    WITH cands AS (
+      SELECT DISTINCT 'http://parts.example/p' || l_partkey AS url, l_partkey AS key
+      FROM lineitem
+    ),
+    seen AS (
+      SELECT 'http://parts.example/p' || p_partkey AS url FROM part WHERE p_partkey % 3 = 0
+    )
+    SELECT url, key FROM cands WHERE url NOT IN (SELECT url FROM seen)
+"""
+
+
+def q_attenuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.2 D1 — attenuation (recent-duplicate collapse): duplicate
+    pushes of the same url within the window collapse to the first, counting
+    the bounced copies (AttenuatedQueue semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pushes = li.select(
+        F.concat(F.lit("http://parts.example/p"), F.col("l_partkey").cast("string")).alias("url"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("push_seq"),
+    )
+    return pushes.groupBy("url").agg(
+        F.min("push_seq").alias("first_push_seq"),
+        (F.count("*") - 1).alias("n_bounced"),
+    )
+
+
+Q_ATTENUATION_SQL = """
+    SELECT 'http://parts.example/p' || l_partkey AS url,
+           min(l_orderkey * 10 + l_linenumber) AS first_push_seq,
+           count(*) - 1 AS n_bounced
+    FROM lineitem
+    GROUP BY 1
+"""
+
+
+def q_queue_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.1 Q8 — queue depth per priority with pop weight + quota."""
+    f = derived_frontier(spark, sf_dir)
+    w = F.when(F.col("priority") == 0, WEIGHTS[0])
+    for p in range(1, 5):
+        w = w.when(F.col("priority") == p, WEIGHTS[p])
+    return (
+        f.groupBy("priority")
+        .agg(F.count("*").alias("depth"))
+        .withColumn("weight", w.cast("int"))
+        .withColumn("quota", (F.lit(BATCH) * F.col("weight") / F.lit(TOTAL_W)).cast("int"))
+    )
+
+
+Q_QUEUE_DEPTH_SQL = f"""
+    WITH f AS ({DERIVED_FRONTIER_SQL})
+    SELECT priority, count(*) AS depth,
+           CAST(CASE priority WHEN 0 THEN 10 WHEN 1 THEN 3 WHEN 2 THEN 2
+                              WHEN 3 THEN 3 WHEN 4 THEN 2 END AS INTEGER) AS weight,
+           CAST({BATCH} * (CASE priority WHEN 0 THEN 10 WHEN 1 THEN 3 WHEN 2 THEN 2
+                              WHEN 3 THEN 3 WHEN 4 THEN 2 END) / {TOTAL_W} AS INTEGER) AS quota
+    FROM f GROUP BY priority
+"""
+
+
+def q_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5 S8 — dead-letter scan: requests at/over max attempts."""
+    f = derived_frontier(spark, sf_dir)
+    return (
+        f.filter(F.col("attempt") >= 5)
+        .select("url", "host", "attempt", "priority")
+    )
+
+
+Q_DEADLETTER_SQL = f"""
+    WITH f AS ({DERIVED_FRONTIER_SQL})
+    SELECT url, host, attempt, priority FROM f WHERE attempt >= 5
+"""
+
+
+def q_host_skew_salt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §4 skew-defeat — per-host frontier share and salt fan-out
+    (hosts over the threshold get ceil(n/threshold) salts)."""
+    f = derived_frontier(spark, sf_dir)
+    return (
+        f.groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+        .withColumn("hot", F.col("n_urls") > SKEW_THRESHOLD)
+        .withColumn(
+            "salt_fanout",
+            F.when(
+                F.col("n_urls") > SKEW_THRESHOLD,
+                F.ceil(F.col("n_urls") / F.lit(SKEW_THRESHOLD)).cast("int"),
+            ).otherwise(F.lit(1)),
+        )
+    )
+
+
+Q_HOST_SKEW_SALT_SQL = f"""
+    WITH f AS ({DERIVED_FRONTIER_SQL})
+    SELECT host, count(*) AS n_urls,
+           count(*) > {SKEW_THRESHOLD} AS hot,
+           CAST(CASE WHEN count(*) > {SKEW_THRESHOLD}
+                THEN ceil(count(*) / {SKEW_THRESHOLD}.0) ELSE 1 END AS INTEGER) AS salt_fanout
+    FROM f GROUP BY host
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7 string fns — canonicalization of messy URLs (case, fragment)
+    derived from orders; canonical = lower(strip fragment)."""
+    o = _t(spark, sf_dir, "orders")
+    messy = F.concat(
+        F.lit("HTTP://Host"),
+        (F.col("o_custkey") % N_HOSTS).cast("string"),
+        F.lit(".Example/P"),
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("key"),
+        messy.alias("raw_url"),
+        F.lower(F.substring_index(messy, "#", 1)).alias("canonical_url"),
+    )
+
+
+Q_URL_CANONICALIZE_SQL = f"""
+    SELECT o_orderkey AS key,
+           'HTTP://Host' || (o_custkey % {N_HOSTS}) || '.Example/P' || o_orderkey
+             || (CASE WHEN o_orderkey % 3 = 0 THEN '#section' ELSE '' END) AS raw_url,
+           lower(split_part('HTTP://Host' || (o_custkey % {N_HOSTS}) || '.Example/P' || o_orderkey
+             || (CASE WHEN o_orderkey % 3 = 0 THEN '#section' ELSE '' END), '#', 1)) AS canonical_url
+    FROM orders
+"""
+
+
+def q_delta_log_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5 S6 — hourly delta-log blob naming with per-hour sequence
+    (deltaStore blob naming v1/YYYY/MM/DD/..._HH_seq)."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_format("ts", "yyyy/MM/dd/HH")
+    w = Window.partitionBy(hour).orderBy("event_id")
+    return e.select(
+        F.col("event_id"),
+        F.concat(F.lit("v1/"), hour, F.lit("_"), (F.row_number().over(w) - 1).cast("string")).alias(
+            "blob_name"
+        ),
+    )
+
+
+Q_DELTA_LOG_NAMING_SQL = """
+    SELECT event_id,
+           'v1/' || strftime(ts, '%Y/%m/%d/%H') || '_' ||
+             (row_number() OVER (PARTITION BY strftime(ts, '%Y/%m/%d/%H') ORDER BY event_id) - 1)
+             AS blob_name
+    FROM events
+"""
+
+
+def q_retry_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.3 — retry queue routing: failed event/immediate work
+    re-enters at priority 1 ('immediate', crawlerFactory.js:678), others keep
+    their queue; attempt increments; over-max goes to priority -1 (dead)."""
+    f = derived_frontier(spark, sf_dir)
+    return f.select(
+        "url",
+        "priority",
+        "attempt",
+        F.when(F.col("attempt") + 1 >= 5, F.lit(-1))
+        .when(F.col("priority") <= 1, F.lit(1))
+        .otherwise(F.col("priority"))
+        .cast("int")
+        .alias("retry_priority"),
+        (F.col("attempt") + 1).cast("int").alias("next_attempt"),
+    )
+
+
+Q_RETRY_ROUTING_SQL = f"""
+    WITH f AS ({DERIVED_FRONTIER_SQL})
+    SELECT url, priority, attempt,
+           CAST(CASE WHEN attempt + 1 >= 5 THEN -1
+                     WHEN priority <= 1 THEN 1
+                     ELSE priority END AS INTEGER) AS retry_priority,
+           CAST(attempt + 1 AS INTEGER) AS next_attempt
+    FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# D: training-data dedup / text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_duplicates(docs)
+
+
+Q_DEDUP_EXACT_SQL = """
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, JACCARD_T)
+
+
+_SHINGLE_SQL = """
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+      )
+"""
+
+Q_NGRAM_JACCARD_SQL = f"""
+    WITH g AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+      FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_T}
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard — oracle is the exact
+    Jaccard pair set (LSH recall at this threshold/band count ≈ 0.9998,
+    asserted equal on the fixed sf=0.01 corpus by tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, JACCARD_T)
+
+
+Q_MINHASH_LSH_SQL = Q_NGRAM_JACCARD_SQL
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (no SQL oracle — hash-dependent; rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, HAMMING_K)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count(t).alias("n_tokens"),
+        TXT.distinct_token_count(t).alias("n_types"),
+        TXT.punct_count(t).alias("n_punct"),
+        F.length(t).alias("n_chars_actual"),
+    )
+
+
+Q_TOKEN_STATS_SQL = """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+           len(list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9]+'))) AS n_types,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+           length(text) AS n_chars_actual
+    FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
+
+
+Q_QUALITY_SCORE_SQL = """
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tok,
+             length(text) AS n_char,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           least(n_stop / greatest(n_tok, 1) * 2, 1.0) * 0.5
+           + (CASE WHEN n_char / greatest(n_tok, 1) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN n_punct / greatest(n_char, 1) <= 0.1 THEN 0.2 ELSE 0.0 END) AS quality
+    FROM s
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("label_lang"), TXT.lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(TXT.LANG_MARKERS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+Q_LANG_ID_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, lang AS label_lang,
+             {_marker_sql('de')} AS s_de, {_marker_sql('en')} AS s_en,
+             {_marker_sql('es')} AS s_es, {_marker_sql('fr')} AS s_fr,
+             {_marker_sql('it')} AS s_it
+      FROM documents
+    ),
+    m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS best FROM s)
+    SELECT doc_id, label_lang,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_de = best THEN 'de'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                WHEN s_fr = best THEN 'fr'
+                ELSE 'it' END AS pred_lang
+    FROM m
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
+
+
+Q_FINGERPRINT_SQL = """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# S: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    out = SIM.brute_topk(emb, queries, TOPK)
+    return out.select("q_id", "rank", "neighbor_id", F.round("cos", 9).alias("cos9"))
+
+
+Q_EMBEDDING_TOPK_SQL = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    v AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings),
+    scored AS (
+      SELECT q_id, n_id,
+             list_dot_product(q_vec, n_vec)
+               / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(n_vec, n_vec))) AS cos
+      FROM q CROSS JOIN v WHERE n_id != q_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, rank, n_id AS neighbor_id, round(cos, 9) AS cos9
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over the full table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    t = 0.4
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", SIM.cosine(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("cos") >= t)
+        .select("a_id", "b_id", F.round("cos", 9).alias("cos9"))
+    )
+
+
+Q_EMBEDDING_NEARDUP_SQL = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 9) AS cos9
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.4
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only check; recall vs brute force pinned in
+    tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id")
+    return SIM.lsh_topk(emb, queries, TOPK, dim=64)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only check; recall pinned in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id")
+    return SIM.ivf_topk(emb, queries, TOPK, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# M: multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata: byte length + md5 over the blob (the decode
+    itself is stubbed; this validates the binary-column plumbing)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.attach_payload(docs, "doc_id", "text", mime="text/plain")
+    return media.select(
+        "media_id",
+        "mime",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+Q_BINARY_META_SQL = """
+    SELECT doc_id AS media_id, 'text/plain' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake featurizer over binary payloads (byte histogram) —
+    exercises the real mapInPandas decode path (rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.attach_payload(docs, "doc_id", "text", mime="text/plain")
+    return MM.feature_extract(media)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # crawl-shaped
+    "frontier_selection": q_frontier_selection,
+    "politeness_window": q_politeness_window,
+    "token_budget": q_token_budget,
+    "seen_antijoin": q_seen_antijoin,
+    "attenuation": q_attenuation,
+    "queue_depth": q_queue_depth,
+    "deadletter": q_deadletter,
+    "host_skew_salt": q_host_skew_salt,
+    "url_canonicalize": q_url_canonicalize,
+    "delta_log_naming": q_delta_log_naming,
+    "retry_routing": q_retry_routing,
+    # training-data dedup / text
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    # similarity
+    "embedding_topk": q_embedding_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    # multimodal
+    "binary_meta": q_binary_meta,
+    "media_features": q_media_features,
+}
+
+ORACLES: dict[str, str] = {
+    "frontier_selection": Q_FRONTIER_SELECTION_SQL,
+    "politeness_window": Q_POLITENESS_WINDOW_SQL,
+    "token_budget": Q_TOKEN_BUDGET_SQL,
+    "seen_antijoin": Q_SEEN_ANTIJOIN_SQL,
+    "attenuation": Q_ATTENUATION_SQL,
+    "queue_depth": Q_QUEUE_DEPTH_SQL,
+    "deadletter": Q_DEADLETTER_SQL,
+    "host_skew_salt": Q_HOST_SKEW_SALT_SQL,
+    "url_canonicalize": Q_URL_CANONICALIZE_SQL,
+    "delta_log_naming": Q_DELTA_LOG_NAMING_SQL,
+    "retry_routing": Q_RETRY_ROUTING_SQL,
+    "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+    "minhash_lsh": Q_MINHASH_LSH_SQL,
+    "token_stats": Q_TOKEN_STATS_SQL,
+    "quality_score": Q_QUALITY_SCORE_SQL,
+    "lang_id": Q_LANG_ID_SQL,
+    "fingerprint": Q_FINGERPRINT_SQL,
+    "embedding_topk": Q_EMBEDDING_TOPK_SQL,
+    "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
+    "binary_meta": Q_BINARY_META_SQL,
+    # simhash_pairs / ann_lsh / ann_ivf / media_features: hash- or
+    # projection-dependent → rows-only checks (tests pin their quality)
+}

@@ -12,6 +12,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to the Python workers of an *externally created*
+    SparkSession (the driver-contract path) — the runtime analog of
+    ``spark-submit --py-files ospo_ghcrawler_spark.zip``."""
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "ospo_ghcrawler_spark_pyfiles.zip")
+    tmp = zpath + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+
+
 def get_spark(
     app_name: str = "ospo_ghcrawler_spark",
     cores: int | None = None,
