@@ -94,6 +94,9 @@ class CrawlConfig:
     # --- misc ---------------------------------------------------------------
     seed: int = 42
     simulate_fetch_failure_every: int = 0  # 0 = never; N = every Nth url_hash fails once
+    # collect optional per-superstep stats (edge/bounce counts). Costs two
+    # extra Spark jobs per superstep; benches turn it off.
+    collect_stats: bool = True
 
     def with_(self, **kw) -> "CrawlConfig":
         return replace(self, **kw)

@@ -100,8 +100,10 @@ class BloomFamily:
     # -- persistence (per-superstep checkpoint sidecar) -----------------------
 
     def save(self, path: str) -> None:
+        # uncompressed: bloom bitmaps are near-incompressible once loaded,
+        # and compression stalls the driver between supersteps
         tmp = path + ".tmp"
-        np.savez_compressed(tmp, bitmaps=self.bitmaps, k=self.k)
+        np.savez(tmp, bitmaps=self.bitmaps, k=self.k)
         os.replace(tmp + ".npz", path)
 
     @classmethod
@@ -152,16 +154,22 @@ def build_bloom_distributed(
     return fam
 
 
-def bloom_flag_column(df: DataFrame, hash_col: str, fam: BloomFamily, flag: str) -> DataFrame:
+def bloom_flag_column(
+    df: DataFrame, hash_col: str, fam: BloomFamily, flag: str, bc=None
+) -> DataFrame:
     """Adds boolean *flag* = bloom.might_contain(hash) via one vectorized
-    Arrow pass (the family rides to executors as a task-closure broadcast)."""
-    bitmaps, bits, k, shards = fam.bitmaps, fam.bits, fam.k, fam.shards
+    Arrow pass. The bitmap family ships as a Spark broadcast variable (pass a
+    prebuilt one via *bc* to reuse across stages) — NOT a task closure, which
+    would re-serialize the megabytes of bitmap into every stage binary."""
+    bits, k, shards = fam.bits, fam.k, fam.shards
+    if bc is None:
+        bc = df.sparkSession.sparkContext.broadcast(fam.bitmaps)
     fields = df.schema.fields + [T.StructField(flag, T.BooleanType(), False)]
     out_schema = T.StructType(fields)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = BloomFamily(shards, bits, k)
-        local.bitmaps = bitmaps
+        local.bitmaps = bc.value
         for pdf in batches:
             pdf = pdf.copy()
             h = pdf[hash_col].to_numpy(dtype=np.int64)
@@ -176,6 +184,7 @@ def seen_filter(
     seen: DataFrame,
     hash_col: str = "url_hash",
     fam: BloomFamily | None = None,
+    bc=None,
 ) -> DataFrame:
     """Rows of *candidates* whose hash is NOT in *seen*.
 
@@ -184,7 +193,7 @@ def seen_filter(
     """
     if fam is None:
         return candidates.join(seen.select(hash_col), on=hash_col, how="left_anti")
-    flagged = bloom_flag_column(candidates, hash_col, fam, "_maybe_seen")
+    flagged = bloom_flag_column(candidates, hash_col, fam, "_maybe_seen", bc=bc)
     fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     rescue = (
         flagged.filter(F.col("_maybe_seen"))

@@ -20,6 +20,7 @@ what makes the run exactly resumable and the scaling bench honest.
 from __future__ import annotations
 
 import os
+import time
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -97,6 +98,14 @@ class Crawler:
             else None
         )
         self.step = 0
+        self._bloom_bc = None  # per-superstep broadcast of the bloom bitmaps
+        # smallest effective per-host budget — lets selection skip the
+        # politeness window when it provably cannot bind (bench fast path)
+        row = self.host_budgets.agg(F.min("host_budget").alias("m")).collect()
+        self._min_budget = min(
+            row[0]["m"] if row and row[0]["m"] is not None else self.cfg.host_budget,
+            self.cfg.host_budget,
+        )
 
     # ------------------------------------------------------------------ seed
 
@@ -143,6 +152,14 @@ class Crawler:
         §2.5 S1/S6 of SURVEY.md.
         """
         cfg, step = self.cfg, self.step
+        debug_timing = os.environ.get("SPARK_CRAWL_DEBUG_TIMING")
+        _t0 = time.time()
+        _marks: list[tuple[str, float]] = []
+
+        def _mark(label: str) -> None:
+            if debug_timing:
+                _marks.append((label, time.time() - _t0))
+
         frontier_t = self.catalog.table("frontier")
         seen_t = self.catalog.table("seen")
 
@@ -158,10 +175,24 @@ class Crawler:
             .drop("bench_until")
         )
 
-        selected = select_batch(eligible_frontier, self.host_budgets, cfg, step).cache()
-        n_selected = selected.count()
+        selected, n_selected = select_batch(
+            eligible_frontier, self.host_budgets, cfg, step, min_host_budget=self._min_budget
+        )
+        _mark("select")
         if n_selected == 0:
+            # nothing fetchable NOW — but deferred/benched rows may wake at a
+            # later step (the reference's defer/bench semantics, amqp10Queue
+            # _deferUntil). Idle-advance while any statically-eligible row has
+            # a future wake-up; return {} only on true exhaustion/starvation.
+            static = eligible_frontier.filter(F.col("depth") <= cfg.max_depth)
+            if cfg.allowed_hosts is not None:
+                static = static.filter(F.col("host").isin(*cfg.allowed_hosts))
+            row = static.agg(F.max("not_before_step").alias("m")).collect()
             frontier.unpersist()
+            max_wake = row[0]["m"]
+            if max_wake is not None and max_wake > step:
+                self.step = step + 1
+                return {"selected": 0, "new_edges": 0, "bounced": 0, "idle": True}
             return {}
 
         # fetch + fused text/link extraction, repartitioned by fetch_salt so a
@@ -202,10 +233,13 @@ class Crawler:
             .filter(F.col("_rk") == 1)
             .drop("_rk")
         )
-        n_edges_raw = edges.count()
+        n_edges_raw = edges.count() if cfg.collect_stats else -1
+        _mark("edges_raw")
 
         seen = seen_t.read()
-        edges = seen_filter(edges, seen, fam=self.bloom)
+        if self.bloom is not None and self._bloom_bc is None:
+            self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom.bitmaps)
+        edges = seen_filter(edges, seen, fam=self.bloom, bc=self._bloom_bc)
         # also anti-join what's still on the frontier (tracker semantics, D2)
         edges = edges.join(frontier.select("url_hash"), "url_hash", "left_anti")
         # ... and this superstep's own fetches (their seen rows commit below)
@@ -223,7 +257,8 @@ class Crawler:
             .withColumn("not_before_step", F.lit(step + 1).cast("int"))
             .select(*[f.name for f in FRONTIER_SCHEMA.fields])
         ).cache()
-        n_new = new_rows.count()
+        n_new = new_rows.count() if cfg.collect_stats else -1
+        _mark("new_rows")
 
         # ---- retries & dead letters ----------------------------------------
         retry = (
@@ -299,10 +334,15 @@ class Crawler:
 
         # ---- commit (snapshot per table + run-manifest entry) ----------------
         self.catalog.table("pages").append(harvest)
+        _mark("w_pages")
         seen_t.append(new_seen)
+        _mark("w_seen")
         self.catalog.table("deadletters").append(dead)
+        _mark("w_dead")
         self.catalog.table("metrics").append(metrics.unionByName(run_row))
+        _mark("w_metrics")
         frontier_t.overwrite(next_frontier)
+        _mark("w_frontier")
 
         if self.bloom is not None:
             # distributed bitmap build (only shard bitmaps reach the driver) —
@@ -312,6 +352,10 @@ class Crawler:
             )
             self.bloom.bitmaps |= delta.bitmaps
             self.bloom.save(self._bloom_path(step))
+            if self._bloom_bc is not None:
+                self._bloom_bc.unpersist()
+                self._bloom_bc = None  # rebroadcast lazily next superstep
+        _mark("bloom")
 
         stats = {
             "selected": n_selected,
@@ -326,6 +370,13 @@ class Crawler:
         )
         for df in (frontier, selected, extracted, new_rows):
             df.unpersist()
+        if debug_timing:
+            deltas = []
+            prev = 0.0
+            for label, t in _marks:
+                deltas.append(f"{label}={t - prev:.2f}")
+                prev = t
+            print(f"[step {step}] n={n_selected} total={prev:.2f}s " + " ".join(deltas), flush=True)
         self.step = step + 1
         return stats
 
@@ -343,6 +394,8 @@ class Crawler:
             stats = self.superstep()
             if not stats:
                 break
+            if stats.get("idle"):
+                continue  # politeness pause — the clock advanced, work remains
             totals["supersteps"] += 1
             for k in ("selected", "new_edges", "bounced"):
                 totals[k] += stats[k]

@@ -45,9 +45,13 @@ def simulated_fetch(selected: DataFrame, corpus: DataFrame, cfg: CrawlConfig) ->
     fetch_ms = (F.pmod(F.col("url_hash"), F.lit(180)) + F.lit(20)).cast("long")
     status = F.when(F.col("html").isNull(), F.lit(404)).otherwise(F.lit(200))
     if cfg.simulate_fetch_failure_every:
+        # 1/N of urls fail permanently (dead-letter path); another 1/N fail
+        # only on the first attempt (retry-then-succeed path)
         n = cfg.simulate_fetch_failure_every
-        transient = (F.pmod(F.col("url_hash"), F.lit(n)) == 0) & (F.col("attempt") == 0)
-        status = F.when(transient, F.lit(599)).otherwise(status)
+        mod = F.pmod(F.col("url_hash"), F.lit(2 * n))
+        permanent = mod == 0
+        transient = (mod == 1) & (F.col("attempt") == 0)
+        status = F.when(permanent | transient, F.lit(599)).otherwise(status)
 
     return (
         joined.withColumn("status", status)

@@ -66,23 +66,37 @@ def select_batch(
     host_budgets: DataFrame,
     cfg: CrawlConfig,
     step: int,
-) -> DataFrame:
-    """The selected batch for this superstep (see module docstring)."""
+    min_host_budget: int | None = None,
+) -> tuple[DataFrame, int]:
+    """(selected batch, its row count) for this superstep (see module
+    docstring) — the count rides along because materialization happens here.
+
+    *min_host_budget* (the smallest effective budget across hosts, computed
+    once per run) lets the plan skip the per-host window entirely when the
+    budget provably cannot bind (budget ≥ batch size) — the unbounded-budget
+    fast path used by throughput benches.
+    """
     eligible = frontier.filter(
         (F.col("not_before_step") <= step) & (F.col("depth") <= cfg.max_depth)
     )
     if cfg.allowed_hosts is not None:
         eligible = eligible.filter(F.col("host").isin(*cfg.allowed_hosts))
 
-    # per-host politeness rank (many hosts → well-distributed window)
-    w_host = Window.partitionBy("host").orderBy("priority", "enqueue_step", "seq", "url_hash")
-    budgeted = (
-        eligible.join(F.broadcast(host_budgets), on="host", how="left")
-        .withColumn("host_budget", F.coalesce("host_budget", F.lit(cfg.host_budget)))
-        .withColumn("_host_rank", F.row_number().over(w_host))
-        .filter(F.col("_host_rank") <= F.col("host_budget"))
-        .drop("host_budget")
-    )
+    budget_unbound = min_host_budget is not None and min_host_budget >= cfg.batch_size
+    if budget_unbound:
+        budgeted = eligible.withColumn("_host_rank", F.lit(1))
+    else:
+        # per-host politeness rank (many hosts → well-distributed window)
+        w_host = Window.partitionBy("host").orderBy(
+            "priority", "enqueue_step", "seq", "url_hash"
+        )
+        budgeted = (
+            eligible.join(F.broadcast(host_budgets), on="host", how="left")
+            .withColumn("host_budget", F.coalesce("host_budget", F.lit(cfg.host_budget)))
+            .withColumn("_host_rank", F.row_number().over(w_host))
+            .filter(F.col("_host_rank") <= F.col("host_budget"))
+            .drop("host_budget")
+        )
     budgeted = budgeted.cache()
 
     # availability per priority (5 small numbers to the driver)
@@ -92,18 +106,24 @@ def select_batch(
     }
     quotas = allocate_quotas(cfg, avail)
 
-    # per-priority FIFO top-k — TakeOrderedAndProject, no global shuffle
+    # per-priority FIFO top-k — TakeOrderedAndProject, no global shuffle;
+    # when the quota cannot bind (covers all available rows), skip the
+    # ordered-limit entirely (avoids a single-point top-k merge at scale)
     picks = [
-        budgeted.filter(F.col("priority") == p)
-        .orderBy("enqueue_step", "seq", "url_hash")
-        .limit(q)
+        (
+            budgeted.filter(F.col("priority") == p)
+            if q >= avail.get(p, 0)
+            else budgeted.filter(F.col("priority") == p)
+            .orderBy("enqueue_step", "seq", "url_hash")
+            .limit(q)
+        )
         for p, q in quotas.items()
         if q > 0 and avail.get(p, 0) > 0
     ]
     if not picks:
         empty = budgeted.filter(F.lit(False)).drop("_host_rank")
         budgeted.unpersist()
-        return empty.withColumn("fetch_salt", F.lit(0))
+        return empty.withColumn("fetch_salt", F.lit(0)), 0
     selected = reduce(lambda a, b: a.unionByName(b), picks).drop("_host_rank")
 
     # hot-host salting: spread mega-hosts across all fetch partitions
@@ -124,6 +144,6 @@ def select_batch(
         )
         .drop("_hot", "_n")
     ).cache()
-    out.count()  # materialize while budgeted is still cached
+    n = out.count()  # materialize while budgeted is still cached
     budgeted.unpersist()
-    return out
+    return out, n

@@ -93,13 +93,15 @@ def _sentence(pid: int) -> str:
     return " ".join(_WORDS[_mix(pid * 131 + i) % len(_WORDS)] for i in range(n)) + "."
 
 
-def render_page(pid: int, n_pages: int, n_hosts: int, k: int, skew: bool) -> tuple[str, bytes, str, str]:
+def render_page(
+    pid: int, n_pages: int, n_hosts: int, k: int, skew: bool, sentences: int = 1
+) -> tuple[str, bytes, str, str]:
     """(url, html, golden_text, lang) of page pid."""
     h = page_host(pid, n_pages, n_hosts, skew)
     url = page_url(pid, n_pages, n_hosts, skew)
     title = f"Page {pid} on host{h}.example"
     heading = f"Page {pid}"
-    body = _sentence(pid)
+    body = " ".join(_sentence(pid * 97 + s) for s in range(sentences))
     links = page_links(pid, n_pages, n_hosts, k, skew)
     anchors = "".join(
         f'<a href="{u}">anchor {i} of {pid}</a>\n' for i, u in enumerate(links)
@@ -123,6 +125,7 @@ def synth_pages(
     links_per_page: int = 8,
     skew: bool = False,
     partitions: int = 32,
+    sentences: int = 1,
 ) -> DataFrame:
     """Distributed corpus build: ``spark.range`` drives page ids; html/text
     assembly happens in parallel Arrow batches via ``mapInPandas``."""
@@ -132,7 +135,9 @@ def synth_pages(
             rows = []
             for pid in pdf["id"]:
                 pid = int(pid)
-                url, html, text, lang = render_page(pid, n_pages, n_hosts, links_per_page, skew)
+                url, html, text, lang = render_page(
+                    pid, n_pages, n_hosts, links_per_page, skew, sentences
+                )
                 ts = datetime.fromtimestamp(_EPOCH + pid, tz=timezone.utc).replace(tzinfo=None)
                 rows.append((url, ts, html, text, lang))
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])

@@ -1,0 +1,98 @@
+"""Structured-Streaming seed ingestion — the event-queue path.
+
+The reference ingests external events two ways: the HMAC-verified webhook
+(POST /webhook → Request('event_trigger', ...) on the 'events' queue,
+/root/reference/routes/webhook.js:14-45) and an AMQP topic subscription
+(lib/crawlerFactory.js:603-612, EventFormatter at :657-681). Event work gets
+pop weight 10 — it preempts about half of all pops.
+
+Here the analog is a **file-source stream of seed batches**: JSON-lines files
+dropped into a watched directory become priority-0 frontier rows via
+``foreachBatch`` (canonicalize → attenuate → anti-join seen/frontier →
+append). Each micro-batch is one atomic frontier snapshot append, so the
+crawl loop picks new seeds up at its next superstep — exactly the reference's
+"events preempt the next pop" semantics, superstep-granular.
+
+Schema of a seed file line: {"url": "...", "priority": 0}
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ospo_ghcrawler_spark.config import PRIORITY_EVENTS
+from ospo_ghcrawler_spark.functions.urls import canonicalize_udf, host_col
+from ospo_ghcrawler_spark.operators.dedup import attenuate
+from ospo_ghcrawler_spark.operators.politeness import robots_allowed_filter
+from ospo_ghcrawler_spark.plans.catalog import SnapshotTable
+from ospo_ghcrawler_spark.schemas import FRONTIER_SCHEMA
+
+SEED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("priority", T.IntegerType(), True),
+    ]
+)
+
+
+def seed_batch_to_frontier_rows(
+    batch: DataFrame, step: int, partitions: int, batch_id: int = 0
+) -> DataFrame:
+    """Raw (url, priority) rows → canonical frontier rows (event priority by
+    default; seq namespaced by batch id so stream batches stay FIFO)."""
+    return (
+        batch.withColumn("url", canonicalize_udf("url"))
+        .filter(F.col("url").isNotNull())
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("host", host_col(F.col("url")))
+        .withColumn("host_salt", F.pmod(F.xxhash64("host"), F.lit(partitions)).cast("int"))
+        .withColumn(
+            "priority", F.coalesce(F.col("priority"), F.lit(PRIORITY_EVENTS)).cast("int")
+        )
+        .withColumn("attempt", F.lit(0))
+        .withColumn("depth", F.lit(0))
+        .withColumn("enqueue_step", F.lit(step).cast("int"))
+        .withColumn("not_before_step", F.lit(step).cast("int"))
+        .withColumn(
+            "seq",
+            (F.lit(int(batch_id) << 20) + F.xxhash64("url").bitwiseAND(F.lit((1 << 20) - 1)))
+            .cast("long"),
+        )
+        .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+    )
+
+
+def start_seed_stream(
+    spark: SparkSession,
+    seeds_dir: str,
+    frontier: SnapshotTable,
+    seen: SnapshotTable,
+    robots: DataFrame,
+    checkpoint_dir: str,
+    partitions: int = 32,
+    step_provider=lambda: 0,
+):
+    """Watch *seeds_dir* for JSON-lines seed files; every micro-batch lands as
+    one deduped frontier snapshot append. Returns the StreamingQuery."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        rows = seed_batch_to_frontier_rows(batch, step_provider(), partitions, batch_id)
+        rows = attenuate(rows)
+        rows = robots_allowed_filter(rows, robots)
+        rows = rows.join(seen.read().select("url_hash"), "url_hash", "left_anti")
+        rows = rows.join(frontier.read().select("url_hash"), "url_hash", "left_anti")
+        frontier.append(rows.select(*[f.name for f in FRONTIER_SCHEMA.fields]))
+
+    stream = (
+        spark.readStream.schema(SEED_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(seeds_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
