@@ -58,7 +58,7 @@ def crawl_worker(cores: int, corpus_dir: str, robots_dir: str, n_pages: int, out
     corpus = spark.read.parquet(corpus_dir)
     robots = spark.read.parquet(robots_dir)
     cfg = CrawlConfig(
-        batch_size=max(n_pages, 1),
+        batch_size=4 * max(n_pages, 1),  # always covers the frontier: no top-k merge
         host_budget=1 << 30,
         compute_budget_ms=1 << 40,  # throughput bench: politeness unbound
         max_depth=64,

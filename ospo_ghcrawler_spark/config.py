@@ -97,6 +97,13 @@ class CrawlConfig:
     # collect optional per-superstep stats (edge/bounce counts). Costs two
     # extra Spark jobs per superstep; benches turn it off.
     collect_stats: bool = True
+    # up to this many selected rows, new edges get exact FIFO sequence
+    # numbers (global sorted window — single-partition, fine for small
+    # interactive crawls and the golden traversal). Above it, ties within a
+    # superstep take a deterministic hash sequence instead: the reference
+    # makes no cross-worker ordering promise within a poll window, and a
+    # global sort would serialize the whole engine at scale.
+    fifo_links_threshold: int = 10_000
 
     def with_(self, **kw) -> "CrawlConfig":
         return replace(self, **kw)

@@ -143,3 +143,31 @@ def host_col(url: Column) -> Column:
 def url_hash_col(url: Column) -> Column:
     """xxhash64 of the canonical URL — the engine-wide join identity."""
     return F.xxhash64(url)
+
+
+def urn_col(url: Column) -> Column:
+    """Hierarchical URN of a canonical URL — the reference's document
+    identity (`urn:org:1:repos:page:1`, shapes pinned at
+    /root/reference/test/unit/processingTests.js:21-40; blob path rewrite
+    lowercases and swaps ':'→'/' at storageDocStore.js:199-215).
+
+    Web-domain analog: ``urn:<host>:<path segments joined by ':'>``,
+    lowercased, query/fragment excluded.
+    """
+    after = F.substring_index(url, "://", -1)
+    authority = F.substring_index(after, "/", 1)
+    host = F.substring_index(F.substring_index(authority, "@", -1), ":", 1)
+    pathq = after.substr(F.length(authority) + 1, F.lit(1 << 30))
+    path = F.substring_index(pathq, "?", 1)
+    segs = F.array_join(F.filter(F.split(path, "/"), lambda s: F.length(s) > 0), ":")
+    return F.lower(
+        F.when(F.length(segs) > 0, F.concat(F.lit("urn:"), host, F.lit(":"), segs)).otherwise(
+            F.concat(F.lit("urn:"), host)
+        )
+    )
+
+
+def urn_to_blob_path(urn: Column) -> Column:
+    """URN → storage path, the reference's blob-naming rewrite
+    (storageDocStore.js:199-215): ':'→'/', lowercase, '.json' suffix."""
+    return F.concat(F.regexp_replace(F.lower(urn), ":", "/"), F.lit(".json"))

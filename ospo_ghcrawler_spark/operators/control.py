@@ -1,0 +1,183 @@
+"""Control-plane operators — the reference's REST surface (SURVEY §2.6) as
+engine calls over the snapshot tables.
+
+| Reference endpoint                              | Here |
+|---|---|
+| POST /requests[/:queue]   (routes/requests.js:22-28)  | Crawler.seed(urls, priority) |
+| GET/DELETE /requests/:queue?count (routes/requests.js:30-44) | peek_requests / delete_requests |
+| PUT /queues/:name (flush)  (routes/queues.js:11-19)   | flush_queue |
+| GET /queues/:name/info     (routes/queues.js:21-25)   | queue_info |
+| HEAD/GET/DELETE /deadletters (routes/deadletters.js:13-38) | deadletters_* |
+| POST deadletters requeue   (routes/deadletters.js:26-31) | requeue_deadletters |
+| GET /status                (routes/status.js:10-20)   | status |
+| doc get / etag / list / count / delete (storageDocStore.js:60-177) | doc_* |
+
+All operations are snapshot-table transforms (overwrite/append), so each
+control action is itself atomic and resumable, like everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ospo_ghcrawler_spark.config import PRIORITY_NAMES
+from ospo_ghcrawler_spark.operators.engine import Crawler
+from ospo_ghcrawler_spark.schemas import FRONTIER_SCHEMA
+
+_FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+
+def queue_info(crawler: Crawler) -> DataFrame:
+    """Queue depths by priority (GET /queues/:name/info; §2.1 Q8)."""
+    name_expr = F.lit("unknown")
+    for p, n in PRIORITY_NAMES.items():
+        name_expr = F.when(F.col("priority") == p, F.lit(n)).otherwise(name_expr)
+    return (
+        crawler.catalog.table("frontier")
+        .read()
+        .groupBy("priority")
+        .agg(F.count("*").alias("depth"))
+        .withColumn("queue", name_expr)
+    )
+
+
+def peek_requests(crawler: Crawler, priority: int, count: int = 100) -> DataFrame:
+    """GET /requests/:queue?count=n — FIFO-ordered peek, capped (the
+    reference caps at 100, routes/requests.js:11-14)."""
+    return (
+        crawler.catalog.table("frontier")
+        .read()
+        .filter(F.col("priority") == priority)
+        .orderBy("enqueue_step", "seq", "url_hash")
+        .limit(min(count, 100))
+    )
+
+
+def delete_requests(crawler: Crawler, priority: int, count: int = 100) -> int:
+    """DELETE /requests/:queue?count=n — remove up to n head requests."""
+    t = crawler.catalog.table("frontier")
+    head = peek_requests(crawler, priority, count).select("url_hash")
+    remaining = t.read().join(head, "url_hash", "left_anti")
+    t.overwrite(remaining.select(*_FRONTIER_COLS))
+    return t.current_snapshot()
+
+
+def flush_queue(crawler: Crawler, priority: int | None = None) -> int:
+    """PUT /queues/:name — destroy a queue's contents (§2.1 Q7); None = all."""
+    t = crawler.catalog.table("frontier")
+    df = t.read()
+    remaining = df.filter(F.col("priority") != priority) if priority is not None else df.limit(0)
+    t.overwrite(remaining.select(*_FRONTIER_COLS))
+    return t.current_snapshot()
+
+
+def status(crawler: Crawler) -> dict:
+    """GET /status — run liveness summary (loop count/delay analogs become
+    superstep counters)."""
+    last = crawler.manifest.last()
+    return {
+        "run_id": crawler.run_id,
+        "next_superstep": crawler.step,
+        "last_committed_superstep": last["superstep"] if last else None,
+        "tables": last["tables"] if last else {},
+    }
+
+
+# -- dead letters -------------------------------------------------------------
+
+
+def deadletters_list(crawler: Crawler) -> DataFrame:
+    return crawler.catalog.table("deadletters").read()
+
+
+def deadletters_count(crawler: Crawler) -> int:
+    return deadletters_list(crawler).count()
+
+
+def deadletters_delete(crawler: Crawler, url_hashes: list[int]) -> int:
+    t = crawler.catalog.table("deadletters")
+    remaining = t.read().filter(~F.col("url_hash").isin(url_hashes))
+    return t.overwrite(remaining)
+
+
+def requeue_deadletters(crawler: Crawler, priority: int = 2) -> int:
+    """POST requeue (routes/deadletters.js:26-31): dead letters re-enter the
+    frontier (reference requeues to 'soon'), attempt counter reset, and leave
+    the dead-letter table. Returns the number requeued."""
+    dl_t = crawler.catalog.table("deadletters")
+    f_t = crawler.catalog.table("frontier")
+    dead = dl_t.read()
+    p = crawler.cfg.frontier_partitions
+    rows = (
+        dead.select(
+            "url",
+            "url_hash",
+            "host",
+            F.pmod(F.xxhash64("host"), F.lit(p)).cast("int").alias("host_salt"),
+            F.lit(priority).cast("int").alias("priority"),
+            F.lit(0).alias("attempt"),
+            F.lit(0).alias("depth"),
+            F.lit(crawler.step).cast("int").alias("enqueue_step"),
+            F.lit(crawler.step).cast("int").alias("not_before_step"),
+            F.xxhash64("url").alias("seq"),
+        )
+        .join(f_t.read().select("url_hash"), "url_hash", "left_anti")
+        .select(*_FRONTIER_COLS)
+    )
+    n = rows.count()
+    f_t.append(rows)
+    dl_t.overwrite(dead.limit(0))
+    return n
+
+
+# -- doc store ----------------------------------------------------------------
+
+
+def doc_get(crawler: Crawler, url: str) -> DataFrame:
+    """Doc lookup by url (storageDocStore.get via url→urn map, S3/S7 — here
+    the mapping is a column, so lookup is a pruned filter)."""
+    h = crawler.catalog.table("pages").read()
+    return h.filter(F.col("url_hash") == F.xxhash64(F.lit(url)))
+
+
+def doc_etag(crawler: Crawler, url: str) -> str | None:
+    """Etag analog: fingerprint of the stored text (etag-only read, S3)."""
+    rows = doc_get(crawler, url).select(F.md5(F.encode("text", "UTF-8")).alias("etag")).collect()
+    return rows[0]["etag"] if rows else None
+
+
+def doc_list_by_prefix(crawler: Crawler, url_prefix: str, cap: int = 10_000) -> DataFrame:
+    """URN-prefix scan (storageDocStore.list, cap 10000 — S4)."""
+    return (
+        crawler.catalog.table("pages")
+        .read()
+        .filter(F.col("url").startswith(url_prefix))
+        .limit(cap)
+    )
+
+
+def doc_count_by_prefix(crawler: Crawler, url_prefix: str) -> int:
+    return (
+        crawler.catalog.table("pages")
+        .read()
+        .filter(F.col("url").startswith(url_prefix))
+        .count()
+    )
+
+
+def doc_delete(crawler: Crawler, url: str) -> int:
+    """DELETE by key (S5)."""
+    t = crawler.catalog.table("pages")
+    remaining = t.read().filter(F.col("url_hash") != F.xxhash64(F.lit(url)))
+    return t.overwrite(remaining)
+
+
+def tracker_flush(crawler: Crawler) -> None:
+    """Tracker flush (D4): drop the seen table + reset bloom filters."""
+    crawler.catalog.table("seen").drop_data()
+    if crawler.bloom is not None:
+        crawler.bloom.bitmaps[:] = 0
+        if crawler._bloom_bc is not None:
+            crawler._bloom_bc.unpersist()
+            crawler._bloom_bc = None

@@ -245,11 +245,19 @@ class Crawler:
         # ... and this superstep's own fetches (their seen rows commit below)
         edges = edges.join(selected.select("url_hash"), "url_hash", "left_anti")
 
-        w_seq = Window.orderBy("seq", "pos")
-        new_rows = (
-            edges.withColumn(
-                "seq", (F.lit(step + 1) * F.lit(1 << 32) + F.row_number().over(w_seq)).cast("long")
+        if n_selected <= cfg.fifo_links_threshold:
+            # exact FIFO: (parent seq, link position) order — single-partition
+            # sort, bounded by the small-batch threshold
+            w_seq = Window.orderBy("seq", "pos")
+            seq_col = F.lit(step + 1) * F.lit(1 << 32) + F.row_number().over(w_seq)
+        else:
+            # bulk path: deterministic hash tie-break (no global sort);
+            # still a pure function of (step, url) → parallelism-invariant
+            seq_col = F.lit(step + 1) * F.lit(1 << 32) + F.xxhash64("url").bitwiseAND(
+                F.lit((1 << 32) - 1)
             )
+        new_rows = (
+            edges.withColumn("seq", seq_col.cast("long"))
             .withColumn("host_salt", F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_partitions)).cast("int"))
             .withColumn("priority", F.lit(PRIORITY_NORMAL).cast("int"))
             .withColumn("attempt", F.lit(0))

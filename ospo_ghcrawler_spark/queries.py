@@ -384,6 +384,59 @@ Q_RETRY_ROUTING_SQL = f"""
 """
 
 
+def q_urn_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §1.1 — hierarchical URN identity + blob-path rewrite
+    (storageDocStore.js:199-215) over derived URLs, via the real
+    urn_col/urn_to_blob_path functions."""
+    from ospo_ghcrawler_spark.functions.urls import urn_col, urn_to_blob_path
+
+    f = derived_frontier(spark, sf_dir)
+    urn = urn_col(F.col("url"))
+    return f.select("url", urn.alias("urn"), urn_to_blob_path(urn).alias("blob_path"))
+
+
+Q_URN_IDENTITY_SQL = f"""
+    WITH f AS ({DERIVED_FRONTIER_SQL})
+    SELECT url,
+           'urn:' || host || ':p' || seq AS urn,
+           'urn/' || host || '/p' || seq || '.json' AS blob_path
+    FROM f
+"""
+
+
+def q_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5 S3/S7 — doc-store get by url: the url→doc lookup is a
+    (broadcastable) join of a small key set against the store."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    store = p.select(
+        F.concat(F.lit("http://parts.example/p"), F.col("p_partkey").cast("string")).alias("url"),
+        F.col("p_name").alias("doc"),
+        F.md5(F.encode(F.col("p_name"), "UTF-8")).alias("etag"),
+    )
+    keys = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("http://parts.example/p"), F.col("l_partkey").cast("string")).alias("url")
+        )
+        .distinct()
+    )
+    return F.broadcast(keys).join(store, "url", "inner").select("url", "doc", "etag")
+
+
+Q_DOC_LOOKUP_SQL = """
+    WITH store AS (
+      SELECT 'http://parts.example/p' || p_partkey AS url, p_name AS doc, md5(p_name) AS etag
+      FROM part
+    ),
+    keys AS (
+      SELECT DISTINCT 'http://parts.example/p' || l_partkey AS url
+      FROM lineitem WHERE l_partkey % 50 = 0
+    )
+    SELECT k.url AS url, doc, etag FROM keys k JOIN store s ON k.url = s.url
+"""
+
+
 # ---------------------------------------------------------------------------
 # D: training-data dedup / text analysis over documents
 # ---------------------------------------------------------------------------
@@ -658,6 +711,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "delta_log_naming": q_delta_log_naming,
     "retry_routing": q_retry_routing,
+    "urn_identity": q_urn_identity,
+    "doc_lookup": q_doc_lookup,
     # training-data dedup / text
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -689,6 +744,8 @@ ORACLES: dict[str, str] = {
     "url_canonicalize": Q_URL_CANONICALIZE_SQL,
     "delta_log_naming": Q_DELTA_LOG_NAMING_SQL,
     "retry_routing": Q_RETRY_ROUTING_SQL,
+    "urn_identity": Q_URN_IDENTITY_SQL,
+    "doc_lookup": Q_DOC_LOOKUP_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "minhash_lsh": Q_MINHASH_LSH_SQL,

@@ -75,8 +75,10 @@ def page_links(pid: int, n_pages: int, n_hosts: int, k: int, skew: bool) -> list
     links = []
     for j in range(k):
         if (pid + j) % 17 == 0:
-            # off-corpus 404 target
-            links.append(f"http://host{_mix(pid + j) % n_hosts}.example/missing{pid}_{j}")
+            # off-corpus 404 target — drawn from a bounded dead-link pool
+            # (~n_pages/10) so dead urls repeat across pages like real rot
+            dead = _mix(pid * 7 + j) % (n_pages // 10 + 1)
+            links.append(f"http://host{_mix(dead) % n_hosts}.example/missing{dead}")
         elif (pid + j) % 13 == 0:
             h = page_host(pid, n_pages, n_hosts, skew)
             links.append(f"http://host{h}.example/private/s{pid}_{j}")

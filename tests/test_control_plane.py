@@ -1,0 +1,80 @@
+"""Control-plane operators (REST surface analogs, SURVEY §2.6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ospo_ghcrawler_spark.config import CrawlConfig
+from ospo_ghcrawler_spark.operators import control as C
+from ospo_ghcrawler_spark.operators.engine import Crawler
+from ospo_ghcrawler_spark.sources.corpus import synth_pages, synth_robots, page_url
+
+N, H = 200, 5
+
+
+@pytest.fixture()
+def crawler(spark, tmp_path):
+    corpus = synth_pages(spark, n_pages=N, n_hosts=H, links_per_page=5)
+    robots = synth_robots(spark, n_hosts=H)
+    c = Crawler(spark, str(tmp_path / "cat"), corpus, robots,
+                CrawlConfig(batch_size=30), run_id="ctl")
+    c.seed([page_url(i, N, H, False) for i in range(12)], priority=3)
+    c.seed([page_url(i, N, H, False) for i in range(12, 16)], priority=1)
+    return c
+
+
+def test_queue_info_and_peek(crawler):
+    info = {r["priority"]: (r["depth"], r["queue"]) for r in C.queue_info(crawler).collect()}
+    assert info[3] == (12, "normal") and info[1] == (4, "immediate")
+    head = C.peek_requests(crawler, 3, count=5).collect()
+    assert len(head) == 5
+    assert [r["seq"] for r in head] == sorted(r["seq"] for r in head)
+
+
+def test_delete_and_flush(crawler):
+    C.delete_requests(crawler, 3, count=2)
+    assert C.queue_info(crawler).filter(F.col("priority") == 3).collect()[0]["depth"] == 10
+    C.flush_queue(crawler, priority=1)
+    assert C.queue_info(crawler).filter(F.col("priority") == 1).count() == 0
+    C.flush_queue(crawler)
+    assert crawler.catalog.table("frontier").read().count() == 0
+
+
+def test_deadletters_and_requeue(spark, tmp_path):
+    corpus = synth_pages(spark, n_pages=N, n_hosts=H, links_per_page=3)
+    robots = synth_robots(spark, n_hosts=H)
+    cfg = CrawlConfig(batch_size=200, max_attempts=1, simulate_fetch_failure_every=4)
+    c = Crawler(spark, str(tmp_path / "cat2"), corpus, robots, cfg, run_id="dl")
+    c.seed([page_url(i, N, H, False) for i in range(30)])
+    c.run(20)
+    n_dead = C.deadletters_count(c)
+    assert n_dead > 0
+    n_requeued = C.requeue_deadletters(c, priority=2)
+    assert n_requeued == n_dead
+    assert C.deadletters_count(c) == 0
+    depths = {r["priority"]: r["depth"] for r in C.queue_info(c).collect()}
+    assert depths.get(2, 0) == n_requeued
+
+
+def test_doc_store_ops(crawler):
+    crawler.run(30)
+    u = page_url(0, N, H, False)
+    got = C.doc_get(crawler, u).collect()
+    assert len(got) == 1 and got[0]["url"] == u
+    assert C.doc_etag(crawler, u) is not None
+    assert C.doc_etag(crawler, "http://nowhere.example/x") is None
+    host0 = C.doc_count_by_prefix(crawler, "http://host0.example/")
+    assert host0 == C.doc_list_by_prefix(crawler, "http://host0.example/").count() > 0
+    before = crawler.catalog.table("pages").read().count()
+    C.doc_delete(crawler, u)
+    assert crawler.catalog.table("pages").read().count() == before - 1
+    assert C.status(crawler)["last_committed_superstep"] is not None
+
+
+def test_tracker_flush_allows_recrawl(crawler):
+    crawler.run(30)
+    u = page_url(1, N, H, False)
+    crawler.seed([u])
+    assert crawler.catalog.table("frontier").read().count() == 0  # seen-blocked
+    C.tracker_flush(crawler)
+    crawler.seed([u])
+    assert crawler.catalog.table("frontier").read().count() == 1  # recrawlable
