@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
         crawler = Crawler(spark, root, corpus, robots, cfg, run_id="entry")
         crawler.seed([page_url(i, n_pages, n_hosts, False) for i in range(4)])
         crawler.run(max_supersteps=30)
-        pages = crawler.catalog.table("pages").read()
+        pages = crawler.catalog.table("pages").read().filter(F.col("status") == 200)
         seen = crawler.catalog.table("seen").read()
         from ospo_ghcrawler_spark.functions.urls import host_col
 

@@ -97,6 +97,10 @@ class CrawlConfig:
     # collect optional per-superstep stats (edge/bounce counts). Costs two
     # extra Spark jobs per superstep; benches turn it off.
     collect_stats: bool = True
+    # False ⇒ the fetcher provably never returns 5xx (e.g. simulated fetch
+    # without failure injection): the retry/dead-letter branch is skipped,
+    # saving one table write per superstep.
+    expect_failures: bool = True
     # up to this many selected rows, new edges get exact FIFO sequence
     # numbers (global sorted window — single-partition, fine for small
     # interactive crawls and the golden traversal). Above it, ties within a

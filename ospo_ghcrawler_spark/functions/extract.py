@@ -119,13 +119,13 @@ def extract_pages_map_in_pandas(schema_out: T.StructType):
     avoids materializing html twice when both outputs are needed (the hot path
     of the superstep)."""
 
+    cols = [f.name for f in schema_out.fields]
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf["text"] = pdf["html"].map(extract_text)
-            pdf["links"] = [
-                extract_links(h, u) for h, u in zip(pdf["html"], pdf["url"])
-            ]
-            yield pdf[[f.name for f in schema_out.fields]]
+            # assign in place (mapInPandas owns the batch — no defensive copy)
+            pdf["text"] = [extract_text(h) for h in pdf["html"]]
+            pdf["links"] = [extract_links(h, u) for h, u in zip(pdf["html"], pdf["url"])]
+            yield pdf[cols]
 
     return fn

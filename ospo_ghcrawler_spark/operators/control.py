@@ -138,7 +138,7 @@ def doc_get(crawler: Crawler, url: str) -> DataFrame:
     """Doc lookup by url (storageDocStore.get via url→urn map, S3/S7 — here
     the mapping is a column, so lookup is a pruned filter)."""
     h = crawler.catalog.table("pages").read()
-    return h.filter(F.col("url_hash") == F.xxhash64(F.lit(url)))
+    return h.filter((F.col("url_hash") == F.xxhash64(F.lit(url))) & (F.col("status") == 200))
 
 
 def doc_etag(crawler: Crawler, url: str) -> str | None:
@@ -152,7 +152,7 @@ def doc_list_by_prefix(crawler: Crawler, url_prefix: str, cap: int = 10_000) -> 
     return (
         crawler.catalog.table("pages")
         .read()
-        .filter(F.col("url").startswith(url_prefix))
+        .filter(F.col("url").startswith(url_prefix) & (F.col("status") == 200))
         .limit(cap)
     )
 
@@ -161,7 +161,7 @@ def doc_count_by_prefix(crawler: Crawler, url_prefix: str) -> int:
     return (
         crawler.catalog.table("pages")
         .read()
-        .filter(F.col("url").startswith(url_prefix))
+        .filter(F.col("url").startswith(url_prefix) & (F.col("status") == 200))
         .count()
     )
 

@@ -44,30 +44,11 @@ from ospo_ghcrawler_spark.operators.politeness import (
 )
 from ospo_ghcrawler_spark.plans.catalog import Catalog
 from ospo_ghcrawler_spark.plans.selection import select_batch
-from ospo_ghcrawler_spark.schemas import FRONTIER_SCHEMA
+from ospo_ghcrawler_spark.schemas import EXTRACT_SCHEMA, FRONTIER_SCHEMA
 
 Fetcher = Callable[[DataFrame, DataFrame, CrawlConfig], DataFrame]
 
-_EXTRACT_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType()),
-        T.StructField("url_hash", T.LongType()),
-        T.StructField("host", T.StringType()),
-        T.StructField("priority", T.IntegerType()),
-        T.StructField("attempt", T.IntegerType()),
-        T.StructField("depth", T.IntegerType()),
-        T.StructField("enqueue_step", T.IntegerType()),
-        T.StructField("seq", T.LongType()),
-        T.StructField("fetch_salt", T.IntegerType()),
-        T.StructField("html", T.BinaryType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("warc_ts", T.TimestampType()),
-        T.StructField("status", T.IntegerType()),
-        T.StructField("fetch_ms", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("links", T.ArrayType(T.StringType())),
-    ]
-)
+_EXTRACT_SCHEMA = EXTRACT_SCHEMA
 
 
 class Crawler:
@@ -195,33 +176,47 @@ class Crawler:
                 return {"selected": 0, "new_edges": 0, "bounced": 0, "idle": True}
             return {}
 
-        # fetch + fused text/link extraction, repartitioned by fetch_salt so a
-        # hot host cannot straggle one task
-        fetched = self.fetcher(
-            selected.repartition(cfg.frontier_partitions, "fetch_salt"), self.corpus, cfg
-        )
-        extracted = fetched.mapInPandas(
-            extract_pages_map_in_pandas(_EXTRACT_SCHEMA), schema=_EXTRACT_SCHEMA
-        )
-        extracted = extracted.cache()
+        # fetch + fused text/link extraction. The fetcher owns its input
+        # distribution: the simulated fetcher streams the corpus scan in
+        # place (broadcast joins, html never shuffles); a real network
+        # fetcher repartitions `selected` by fetch_salt so one hot host
+        # cannot straggle a task (the salt is already on the rows).
+        fetched = self.fetcher(selected, self.corpus, cfg)
+        if "text" in fetched.columns and "links" in fetched.columns:
+            extracted = fetched  # fetcher fused extraction into its Arrow pass
+        else:
+            extracted = fetched.mapInPandas(
+                extract_pages_map_in_pandas(_EXTRACT_SCHEMA), schema=_EXTRACT_SCHEMA
+            )
 
-        ok = extracted.filter(F.col("status") == 200)
-        gone = extracted.filter(F.col("status") == 404)
-        failed = extracted.filter(F.col("status") >= 500)
+        # ---- commit the harvest FIRST (the only pass over html) -------------
+        # Everything downstream derives from the snapshot just written: the
+        # fetch+extract pipeline executes exactly once, and later reads prune
+        # html/text away (columnar scan) instead of re-materializing them.
+        pages_t = self.catalog.table("pages")
+        harvest = extracted.select(
+            "url", "warc_ts", "html", "text", "lang", "links",
+            "url_hash", "host", "priority", "attempt", "depth",
+            "enqueue_step", "seq",
+            F.lit(step).cast("int").alias("superstep"),
+            "status", "fetch_ms",
+        )
+        pages_sid = pages_t.append(harvest)
+        _mark("w_pages")
+
+        log = pages_t.read_delta(pages_sid)  # slim columnar re-read
+        ok = log.filter(F.col("status") == 200)
+        failed = log.filter(F.col("status") >= 500)
 
         # ---- new edges: explode → scope/robots → dedup → sequence ----------
         links = (
-            ok.select("seq", F.posexplode("links").alias("pos", "url"))
+            ok.select("seq", "depth", F.posexplode("links").alias("pos", "url"))
             .withColumn("url_hash", F.xxhash64("url"))
             .withColumn("host", host_col(F.col("url")))
-        )
-        parent_depth = ok.select(F.col("seq").alias("_pseq"), F.col("depth").alias("_pdepth"))
-        edges = (
-            links.join(parent_depth, links["seq"] == parent_depth["_pseq"], "inner")
-            .withColumn("depth", F.col("_pdepth") + 1)
-            .drop("_pseq", "_pdepth")
+            .withColumn("depth", F.col("depth") + 1)
             .filter(F.col("depth") <= cfg.max_depth)
         )
+        edges = links
         if cfg.allowed_hosts is not None:
             edges = edges.filter(F.col("host").isin(*cfg.allowed_hosts))
         edges = robots_allowed_filter(edges, self.robots)
@@ -243,7 +238,7 @@ class Crawler:
         # also anti-join what's still on the frontier (tracker semantics, D2)
         edges = edges.join(frontier.select("url_hash"), "url_hash", "left_anti")
         # ... and this superstep's own fetches (their seen rows commit below)
-        edges = edges.join(selected.select("url_hash"), "url_hash", "left_anti")
+        edges = edges.join(F.broadcast(selected.select("url_hash")), "url_hash", "left_anti")
 
         if n_selected <= cfg.fifo_links_threshold:
             # exact FIFO: (parent seq, link position) order — single-partition
@@ -269,7 +264,7 @@ class Crawler:
         _mark("new_rows")
 
         # ---- retries & dead letters ----------------------------------------
-        retry = (
+        retry = None if not cfg.expect_failures else (
             failed.filter(F.col("attempt") + 1 < cfg.max_attempts)
             .withColumn("attempt", (F.col("attempt") + 1).cast("int"))
             .withColumn(
@@ -282,7 +277,7 @@ class Crawler:
             .withColumn("host_salt", F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_partitions)).cast("int"))
             .select(*[f.name for f in FRONTIER_SCHEMA.fields])
         )
-        dead = (
+        dead = None if not cfg.expect_failures else (
             failed.filter(F.col("attempt") + 1 >= cfg.max_attempts)
             .select(
                 "url",
@@ -296,32 +291,19 @@ class Crawler:
         )
 
         # ---- settled + metrics ----------------------------------------------
-        settled = extracted.filter(F.col("status") < 500)  # 200 & 404 leave the frontier
+        settled = log.filter(F.col("status") < 500)  # 200 & 404 leave the frontier
         new_seen = settled.select(
             "url_hash", "url", F.lit(step).cast("int").alias("first_seen_step"), "status"
         )
-        harvest = ok.select(
-            "url",
-            "warc_ts",
-            "html",
-            "text",
-            "lang",
-            "url_hash",
-            "host",
-            "depth",
-            F.lit(step).cast("int").alias("superstep"),
-            "status",
-            "fetch_ms",
-        )
         metrics = (
-            extracted.groupBy("host")
+            log.groupBy("host")
             .agg(
                 F.count("*").alias("selected"),
                 F.sum((F.col("status") == 200).cast("long")).alias("fetched_ok"),
                 F.sum((F.col("status") == 404).cast("long")).alias("fetched_404"),
                 F.sum((F.col("status") >= 500).cast("long")).alias("failed"),
                 F.sum("fetch_ms").alias("fetch_ms_sum"),
-                F.sum(F.coalesce(F.length("html"), F.lit(0)).cast("long")).alias("bytes"),
+                F.sum(F.coalesce(F.octet_length("html"), F.lit(0)).cast("long")).alias("bytes"),
             )
             .withColumn("superstep", F.lit(step).cast("int"))
             .withColumn("new_edges", F.lit(0).cast("long"))
@@ -335,30 +317,45 @@ class Crawler:
         )
 
         # ---- next frontier ----------------------------------------------------
-        remaining = frontier.join(selected.select("url_hash"), "url_hash", "left_anti")
-        next_frontier = remaining.unionByName(retry).unionByName(new_rows).select(
-            *[f.name for f in FRONTIER_SCHEMA.fields]
-        )
+        # the selected-keys anti-join broadcasts (batch-bounded, scale-safe)
+        sel_keys = F.broadcast(selected.select("url_hash"))
+        remaining = frontier.join(sel_keys, "url_hash", "left_anti")
+        next_frontier = remaining.unionByName(new_rows)
+        if retry is not None:
+            next_frontier = next_frontier.unionByName(retry)
+        next_frontier = next_frontier.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
-        # ---- commit (snapshot per table + run-manifest entry) ----------------
-        self.catalog.table("pages").append(harvest)
-        _mark("w_pages")
-        seen_t.append(new_seen)
-        _mark("w_seen")
-        self.catalog.table("deadletters").append(dead)
-        _mark("w_dead")
-        self.catalog.table("metrics").append(metrics.unionByName(run_row))
-        _mark("w_metrics")
-        frontier_t.overwrite(next_frontier)
-        _mark("w_frontier")
+        # ---- commit remaining tables + run-manifest entry --------------------
+        # the four commits and the bloom build are mutually independent small
+        # jobs — run them concurrently from driver threads so their fixed
+        # job latencies overlap instead of stacking (the run-manifest entry
+        # below is the atomic superstep commit point either way)
+        from concurrent.futures import ThreadPoolExecutor
 
-        if self.bloom is not None:
+        def _bloom_job():
             # distributed bitmap build (only shard bitmaps reach the driver) —
             # the same path that holds at 10^10 urls/superstep
-            delta = build_bloom_distributed(
+            return build_bloom_distributed(
                 new_seen, "url_hash", self.bloom.shards, self.bloom.bits, self.bloom.k
             )
-            self.bloom.bitmaps |= delta.bitmaps
+
+        with ThreadPoolExecutor(max_workers=5) as ex:
+            futs = {
+                "seen": ex.submit(seen_t.append, new_seen),
+                "metrics": ex.submit(
+                    self.catalog.table("metrics").append, metrics.unionByName(run_row)
+                ),
+                "frontier": ex.submit(frontier_t.overwrite, next_frontier),
+            }
+            if dead is not None:
+                futs["dead"] = ex.submit(self.catalog.table("deadletters").append, dead)
+            if self.bloom is not None:
+                futs["bloom"] = ex.submit(_bloom_job)
+            results = {k: f.result() for k, f in futs.items()}
+        _mark("w_tables")
+
+        if self.bloom is not None:
+            self.bloom.bitmaps |= results["bloom"].bitmaps
             self.bloom.save(self._bloom_path(step))
             if self._bloom_bc is not None:
                 self._bloom_bc.unpersist()
@@ -376,7 +373,7 @@ class Crawler:
              for name in ("frontier", "pages", "seen", "deadletters", "metrics")},
             stats,
         )
-        for df in (frontier, selected, extracted, new_rows):
+        for df in (frontier, selected, new_rows):
             df.unpersist()
         if debug_timing:
             deltas = []

@@ -17,10 +17,15 @@ inmemorycrawlqueue.js:54-58).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ospo_ghcrawler_spark.config import CrawlConfig
+from ospo_ghcrawler_spark.schemas import EXTRACT_SCHEMA
 
 FETCH_OUT_COLS = [
     "url", "url_hash", "host", "priority", "attempt", "depth",
@@ -29,19 +34,7 @@ FETCH_OUT_COLS = [
 ]
 
 
-def simulated_fetch(selected: DataFrame, corpus: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Join the selected batch against the synthetic corpus.
-
-    The batch is orders of magnitude smaller than the corpus, so Catalyst
-    broadcasts it and streams the corpus scan (only url/html/lang/warc_ts
-    columns are read — column pruning). Latency is a pure function of
-    url_hash, so metrics/compute-limit behavior is reproducible.
-    """
-    body = corpus.select(
-        F.col("url").alias("_curl"), "html", "lang", "warc_ts"
-    )
-    joined = selected.join(body, selected["url"] == body["_curl"], "left").drop("_curl")
-
+def _status_and_latency(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
     fetch_ms = (F.pmod(F.col("url_hash"), F.lit(180)) + F.lit(20)).cast("long")
     status = F.when(F.col("html").isNull(), F.lit(404)).otherwise(F.lit(200))
     if cfg.simulate_fetch_failure_every:
@@ -52,10 +45,119 @@ def simulated_fetch(selected: DataFrame, corpus: DataFrame, cfg: CrawlConfig) ->
         permanent = mod == 0
         transient = (mod == 1) & (F.col("attempt") == 0)
         status = F.when(permanent | transient, F.lit(599)).otherwise(status)
-
     return (
-        joined.withColumn("status", status)
+        df.withColumn("status", status)
         .withColumn("fetch_ms", fetch_ms)
         .withColumn("html", F.when(F.col("status") == 200, F.col("html")))
         .select(*FETCH_OUT_COLS)
     )
+
+
+def simulated_fetch(selected: DataFrame, corpus: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Serve the selected batch from the synthetic corpus WITHOUT ever
+    shuffling html: both joins broadcast slim key sets and stream the corpus
+    scan in place —
+
+    - hits  = corpus ⋈(BHJ, broadcast selected keys) — html never leaves its
+      scan partition;
+    - misses = selected ⟕anti(broadcast corpus url list) → status 404.
+
+    (A real network fetcher replaces this with a ``mapInPandas`` of batched
+    async GETs over `selected` repartitioned by ``fetch_salt``; same output
+    contract. The corpus-url broadcast is sandbox-only — the simulated
+    universe is bounded, the real one is the network.)
+    """
+    sel_cols = [c for c in FETCH_OUT_COLS if c not in ("html", "lang", "warc_ts", "status", "fetch_ms")]
+    sel_slim = selected.select(*sel_cols)
+    body = corpus.select(F.col("url").alias("_curl"), "html", "lang", "warc_ts")
+    hits = body.join(
+        F.broadcast(sel_slim), sel_slim["url"] == body["_curl"], "inner"
+    ).drop("_curl")
+    corpus_urls = corpus.select(F.col("url").alias("_curl2"))
+    misses = (
+        selected.join(F.broadcast(corpus_urls), selected["url"] == F.col("_curl2"), "left_anti")
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+    )
+    joined = hits.select(*[c for c in FETCH_OUT_COLS if c not in ("status", "fetch_ms")]).unionByName(
+        misses.select(*[c for c in FETCH_OUT_COLS if c not in ("status", "fetch_ms")])
+    )
+    return _status_and_latency(joined, cfg)
+
+
+def make_generator_fetch(
+    n_pages: int,
+    n_hosts: int,
+    skew: bool = False,
+    links_per_page: int = 8,
+    sentences: int = 1,
+):
+    """Fetcher that synthesizes the page universe *inside* the fetch stage —
+    the closest sandbox analog of a real network fetcher: a vectorized
+    ``mapInPandas`` over the selected batch (repartitioned by ``fetch_salt``
+    so a hot host spreads across tasks), no corpus scan, no broadcast, no
+    html shuffle. Fuses extraction (text+links) into the same Arrow pass so
+    html crosses the JVM↔Python boundary exactly once.
+
+    A production fetcher replaces the ``render_page`` call with batched async
+    GETs; everything else (partitioning, schema, status/latency contract)
+    stays identical.
+    """
+    from ospo_ghcrawler_spark.functions.extract import extract_links, extract_text
+    from ospo_ghcrawler_spark.sources.corpus import _EPOCH, page_url, render_page
+
+    cols = [f.name for f in EXTRACT_SCHEMA.fields]
+
+    def fetch(selected: DataFrame, corpus: DataFrame, cfg: CrawlConfig) -> DataFrame:
+        fail_n = cfg.simulate_fetch_failure_every
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                htmls, langs, tss, statuses, ms, texts, links_col = [], [], [], [], [], [], []
+                for url, h64, attempt in zip(pdf["url"], pdf["url_hash"], pdf["attempt"]):
+                    h64 = int(h64)
+                    latency = h64 % 180 + 20
+                    status = 404
+                    html = lang = ts = text = None
+                    links: list[str] = []
+                    # parse /p{pid} and validate against the deterministic universe
+                    try:
+                        path = url.rsplit("/", 1)[-1]
+                        pid = int(path[1:]) if path.startswith("p") else -1
+                    except ValueError:
+                        pid = -1
+                    if 0 <= pid < n_pages and page_url(pid, n_pages, n_hosts, skew) == url:
+                        _, html, _golden, lang = render_page(
+                            pid, n_pages, n_hosts, links_per_page, skew, sentences
+                        )
+                        # run the REAL extractor on the fetched bytes (the
+                        # byte-identical invariant is pinned against _golden
+                        # by tests; here extraction is the actual workload)
+                        text = extract_text(html)
+                        links = extract_links(html, url)
+                        ts = datetime.fromtimestamp(_EPOCH + pid, tz=timezone.utc).replace(
+                            tzinfo=None
+                        )
+                        status = 200
+                    if fail_n:
+                        mod = h64 % (2 * fail_n)
+                        if mod == 0 or (mod == 1 and int(attempt) == 0):
+                            status, html, text, lang, ts, links = 599, None, None, None, None, []
+                    htmls.append(html); langs.append(lang); tss.append(ts)
+                    statuses.append(status); ms.append(latency)
+                    texts.append(text); links_col.append(links)
+                out = pdf[[c for c in cols if c in pdf.columns]].copy()
+                out["html"] = htmls
+                out["lang"] = langs
+                out["warc_ts"] = tss
+                out["status"] = statuses
+                out["fetch_ms"] = ms
+                out["text"] = texts
+                out["links"] = links_col
+                yield out[cols]
+
+        sel = selected.repartition(cfg.frontier_partitions, "fetch_salt")
+        return sel.mapInPandas(fn, schema=EXTRACT_SCHEMA)
+
+    return fetch

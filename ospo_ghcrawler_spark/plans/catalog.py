@@ -122,6 +122,14 @@ class SnapshotTable:
             return self.spark.createDataFrame([], schema=self.schema)
         return self.spark.read.schema(self.schema).parquet(*dirs)
 
+    def read_delta(self, snapshot_id: int) -> DataFrame:
+        """Only the rows added by snapshot *snapshot_id* (Iceberg incremental
+        / changelog read) — the engine derives all superstep state from the
+        snapshot it just committed, never re-executing the producing plan."""
+        s = next(s for s in self._load()["snapshots"] if s["id"] == snapshot_id)
+        d = os.path.join(self.dir, f"s{snapshot_id:08d}-{s['op']}")
+        return self.spark.read.schema(self.schema).parquet(d)
+
     def compact(self) -> int:
         """Fold the append chain into one overwrite snapshot (Iceberg
         rewrite_data_files); keeps read fan-in bounded on long runs."""

@@ -22,12 +22,23 @@ PAGES_SCHEMA = T.StructType(
 )
 
 # Harvested pages (engine output): input_hint columns + crawl provenance.
+# One row per fetch attempt settled in a superstep — content rows have
+# status=200 (html/text/links populated); 404/5xx rows are the fetch log
+# (the reference's delta log records failures too, deltaStore.js:26-31).
+# Everything downstream of extraction derives from THIS table's snapshot, so
+# html is materialized exactly once per superstep and column pruning keeps it
+# out of every later read.
 HARVEST_SCHEMA = T.StructType(
     list(PAGES_SCHEMA.fields)
     + [
+        T.StructField("links", T.ArrayType(T.StringType()), True),
         T.StructField("url_hash", T.LongType(), False),
         T.StructField("host", T.StringType(), True),
+        T.StructField("priority", T.IntegerType(), True),
+        T.StructField("attempt", T.IntegerType(), True),
         T.StructField("depth", T.IntegerType(), True),
+        T.StructField("enqueue_step", T.IntegerType(), True),
+        T.StructField("seq", T.LongType(), True),
         T.StructField("superstep", T.IntegerType(), False),
         T.StructField("status", T.IntegerType(), False),  # 200 / 404 / 599
         T.StructField("fetch_ms", T.LongType(), True),
@@ -59,6 +70,28 @@ SEEN_SCHEMA = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("first_seen_step", T.IntegerType(), False),
         T.StructField("status", T.IntegerType(), False),
+    ]
+)
+
+# fetch+extract stage output: frontier row + fetch result + extraction
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("attempt", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("enqueue_step", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("fetch_salt", T.IntegerType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("fetch_ms", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
     ]
 )
 

@@ -1,0 +1,52 @@
+"""Physical-plan audits: pin the plan properties the 100 TB posture relies on
+(column pruning, broadcast joins, bounded exchanges) so regressions surface
+as test failures rather than silent slowdowns."""
+
+import pytest
+
+from ospo_ghcrawler_spark import queries as Q
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = Q.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_doc_lookup_broadcasts(spark):
+    plan = _plan(spark, "doc_lookup")
+    assert "BroadcastHashJoin" in plan, "small key set must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_orders_scan(spark):
+    """Derived-frontier queries must not read unused orders columns."""
+    plan = _plan(spark, "frontier_selection")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "o_totalprice" not in scan and "o_orderstatus" not in scan
+    assert "o_orderkey" in scan and "o_custkey" in scan
+
+
+def test_dedup_exact_single_exchange(spark):
+    """hash-groupBy dedup = one shuffle (partial agg map-side)."""
+    plan = _plan(spark, "dedup_exact")
+    assert plan.count("Exchange") == 1
+
+
+def test_seen_antijoin_no_cartesian(spark):
+    plan = _plan(spark, "seen_antijoin")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_token_stats_no_exchange(spark):
+    """Pure row-wise projection — no shuffle at all."""
+    plan = _plan(spark, "token_stats")
+    assert "Exchange" not in plan
+
+
+def test_embedding_topk_broadcasts_queries(spark):
+    plan = _plan(spark, "embedding_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
