@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -80,6 +81,12 @@ class Crawler:
         )
         self.step = 0
         self._bloom_bc = None  # per-superstep broadcast of the bloom bitmaps
+        # superstep pipelining state: one background commit in flight at most
+        self._commit_pool = ThreadPoolExecutor(max_workers=1)
+        self._pending: Future | None = None
+        # last superstep's metrics plan (parquet-rooted) so the next select
+        # never has to wait for the metrics table write
+        self._last_metrics: DataFrame | None = None
         # smallest effective per-host budget — lets selection skip the
         # politeness window when it provably cannot bind (bench fast path)
         row = self.host_budgets.agg(F.min("host_budget").alias("m")).collect()
@@ -87,6 +94,14 @@ class Crawler:
             row[0]["m"] if row and row[0]["m"] is not None else self.cfg.host_budget,
             self.cfg.host_budget,
         )
+
+    def _await_pending(self) -> None:
+        """Barrier on the in-flight background commit (pipelined mode)."""
+        if self._pending is not None:
+            try:
+                self._pending.result()
+            finally:
+                self._pending = None
 
     # ------------------------------------------------------------------ seed
 
@@ -113,6 +128,7 @@ class Crawler:
         """Seed URLs onto the frontier (the reference's POST /requests,
         default queue 'normal' — /root/reference/routes/requests.js:22-28).
         Deduped against seen + frontier before append."""
+        self._await_pending()
         rows = self._frontier_rows(urls, priority, self.step)
         rows = attenuate(rows)
         rows = robots_allowed_filter(rows, self.robots)
@@ -125,8 +141,13 @@ class Crawler:
 
     # -------------------------------------------------------------- superstep
 
-    def superstep(self) -> dict:
+    def superstep(self, pipelined: bool = False) -> dict:
         """Run one superstep; returns its stats. Empty selection → {}.
+
+        With ``pipelined=True`` (used by :meth:`run`) the non-harvest table
+        commits run in the background and the NEXT superstep's selection is
+        computed ahead from in-memory lineage; callers driving supersteps
+        manually get fully synchronous semantics by default.
 
         Stage citations: selection §2.1 Q2/Q10, politeness §2.3 R1-R5,
         fetch §2.4 F1, extract §2.4 F2, dedup §2.2 D1-D3, commit §2.1 Q3 +
@@ -144,8 +165,16 @@ class Crawler:
         frontier_t = self.catalog.table("frontier")
         seen_t = self.catalog.table("seen")
 
+        # the frontier table is written synchronously each superstep, so it
+        # is always current here; per-host benches come from the previous
+        # step's in-memory metrics plan (parquet-rooted), so selection never
+        # waits on the backgrounded metrics write
         frontier = frontier_t.read().cache()
-        metrics_prev = self.catalog.table("metrics").read()
+        if self._last_metrics is not None:
+            metrics_prev = self._last_metrics
+        else:
+            self._await_pending()
+            metrics_prev = self.catalog.table("metrics").read()
         benches = compute_limiter_benches(metrics_prev, cfg, step)
         eligible_frontier = (
             frontier.join(F.broadcast(benches), on="host", how="left")
@@ -155,7 +184,6 @@ class Crawler:
             )
             .drop("bench_until")
         )
-
         selected, n_selected = select_batch(
             eligible_frontier, self.host_budgets, cfg, step, min_host_budget=self._min_budget
         )
@@ -231,6 +259,9 @@ class Crawler:
         n_edges_raw = edges.count() if cfg.collect_stats else -1
         _mark("edges_raw")
 
+        # barrier: last step's seen/bloom commits must be visible before
+        # dedup (their writes overlapped this step's select+fetch+extract)
+        self._await_pending()
         seen = seen_t.read()
         if self.bloom is not None and self._bloom_bc is None:
             self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom.bitmaps)
@@ -325,56 +356,65 @@ class Crawler:
             next_frontier = next_frontier.unionByName(retry)
         next_frontier = next_frontier.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
-        # ---- commit remaining tables + run-manifest entry --------------------
-        # the four commits and the bloom build are mutually independent small
-        # jobs — run them concurrently from driver threads so their fixed
-        # job latencies overlap instead of stacking (the run-manifest entry
-        # below is the atomic superstep commit point either way)
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _bloom_job():
-            # distributed bitmap build (only shard bitmaps reach the driver) —
-            # the same path that holds at 10^10 urls/superstep
-            return build_bloom_distributed(
-                new_seen, "url_hash", self.bloom.shards, self.bloom.bits, self.bloom.k
-            )
-
-        with ThreadPoolExecutor(max_workers=5) as ex:
-            futs = {
-                "seen": ex.submit(seen_t.append, new_seen),
-                "metrics": ex.submit(
-                    self.catalog.table("metrics").append, metrics.unionByName(run_row)
-                ),
-                "frontier": ex.submit(frontier_t.overwrite, next_frontier),
-            }
-            if dead is not None:
-                futs["dead"] = ex.submit(self.catalog.table("deadletters").append, dead)
-            if self.bloom is not None:
-                futs["bloom"] = ex.submit(_bloom_job)
-            results = {k: f.result() for k, f in futs.items()}
-        _mark("w_tables")
-
-        if self.bloom is not None:
-            self.bloom.bitmaps |= results["bloom"].bitmaps
-            self.bloom.save(self._bloom_path(step))
-            if self._bloom_bc is not None:
-                self._bloom_bc.unpersist()
-                self._bloom_bc = None  # rebroadcast lazily next superstep
-        _mark("bloom")
-
+        # ---- commit -----------------------------------------------------------
+        # frontier is written synchronously (the next selection depends on
+        # it); the independent group — seen, metrics, deadletters, bloom,
+        # run-manifest — commits in the background and overlaps the next
+        # superstep's select+fetch+extract. The run-manifest entry remains
+        # the atomic superstep commit point: it is written only after every
+        # table write of this superstep has finished.
         stats = {
             "selected": n_selected,
             "new_edges": n_new,
             "bounced": int(n_edges_raw - n_new),
         }
-        self.manifest.record(
-            step,
-            {name: self.catalog.table(name).current_snapshot()
-             for name in ("frontier", "pages", "seen", "deadletters", "metrics")},
-            stats,
-        )
-        for df in (frontier, selected, new_rows):
-            df.unpersist()
+        metrics_all = metrics.unionByName(run_row)
+        self._last_metrics = metrics  # parquet-rooted plan for next benches
+        retire = [df for df in (frontier, selected, new_rows) if df is not None]
+
+        frontier_t.overwrite(next_frontier)
+        _mark("w_frontier")
+
+        def _commit_rest() -> None:
+            def _bloom_job():
+                # distributed bitmap build (only shard bitmaps reach the
+                # driver) — the same path that holds at 10^10 urls/superstep
+                return build_bloom_distributed(
+                    new_seen, "url_hash", self.bloom.shards, self.bloom.bits, self.bloom.k
+                )
+
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                futs = {
+                    "seen": ex.submit(seen_t.append, new_seen),
+                    "metrics": ex.submit(self.catalog.table("metrics").append, metrics_all),
+                }
+                if dead is not None:
+                    futs["dead"] = ex.submit(self.catalog.table("deadletters").append, dead)
+                if self.bloom is not None:
+                    futs["bloom"] = ex.submit(_bloom_job)
+                results = {k: f.result() for k, f in futs.items()}
+
+            if self.bloom is not None:
+                self.bloom.bitmaps |= results["bloom"].bitmaps
+                self.bloom.save(self._bloom_path(step))
+                if self._bloom_bc is not None:
+                    self._bloom_bc.unpersist()
+                    self._bloom_bc = None  # rebroadcast lazily next superstep
+            self.manifest.record(
+                step,
+                {name: self.catalog.table(name).current_snapshot()
+                 for name in ("frontier", "pages", "seen", "deadletters", "metrics")},
+                stats,
+            )
+            for df in retire:
+                df.unpersist()
+
+        if pipelined:
+            self._pending = self._commit_pool.submit(_commit_rest)
+        else:
+            _commit_rest()
+        _mark("w_tables")
+
         if debug_timing:
             deltas = []
             prev = 0.0
@@ -392,18 +432,21 @@ class Crawler:
 
     # ------------------------------------------------------------------- run
 
-    def run(self, max_supersteps: int = 1000) -> dict:
+    def run(self, max_supersteps: int = 1000, pipelined: bool = True) -> dict:
         """Crawl to frontier exhaustion (or the superstep cap)."""
         totals = {"supersteps": 0, "selected": 0, "new_edges": 0, "bounced": 0}
-        for _ in range(max_supersteps):
-            stats = self.superstep()
-            if not stats:
-                break
-            if stats.get("idle"):
-                continue  # politeness pause — the clock advanced, work remains
-            totals["supersteps"] += 1
-            for k in ("selected", "new_edges", "bounced"):
-                totals[k] += stats[k]
+        try:
+            for _ in range(max_supersteps):
+                stats = self.superstep(pipelined=pipelined)
+                if not stats:
+                    break
+                if stats.get("idle"):
+                    continue  # politeness pause — clock advanced, work remains
+                totals["supersteps"] += 1
+                for k in ("selected", "new_edges", "bounced"):
+                    totals[k] += stats[k]
+        finally:
+            self._await_pending()  # run() returns only fully committed
         return totals
 
     # ---------------------------------------------------------------- resume
