@@ -173,6 +173,76 @@ def doc_delete(crawler: Crawler, url: str) -> int:
     return t.overwrite(remaining)
 
 
+def requeue_for_refetch(crawler: Crawler, urls: list[str], priority: int = 2) -> int:
+    """Conditional-refetch path (reference etag semantics, D3: the fetcher
+    reuses the stored etag to decide 304-skips; here recrawl is explicit):
+    the given already-crawled urls leave the ``seen`` table and re-enter the
+    frontier at 'soon' priority. The bloom filter is NOT rebuilt — its now-
+    stale positives route the urls through the exact-confirmation anti-join,
+    which no longer finds them (this false-positive rescue path is exactly
+    what makes windowed deletes safe without a cuckoo rebuild). Change
+    detection afterwards: compare the new harvest row's ``etag`` (md5 of
+    extracted text) with the previous snapshot's.
+
+    Returns the number requeued."""
+    from pyspark.sql import Row
+
+    crawler._await_pending()
+    hashes = [
+        r["url_hash"]
+        for r in crawler.spark.createDataFrame([Row(url=u) for u in urls])
+        .select(F.xxhash64("url").alias("url_hash"))
+        .collect()
+    ]
+    seen_t = crawler.catalog.table("seen")
+    seen = seen_t.read()
+    keep = seen.filter(~F.col("url_hash").isin(hashes))
+    n = seen.count() - keep.count()
+    if n == 0:
+        return 0
+    seen_t.overwrite(keep)
+    f_t = crawler.catalog.table("frontier")
+    p = crawler.cfg.frontier_partitions
+    rows = (
+        crawler.spark.createDataFrame([(u,) for u in urls], ["url"])
+        .withColumn("url_hash", F.xxhash64("url"))
+        .filter(F.col("url_hash").isin(hashes))
+        .withColumn("host", F.substring_index(F.substring_index("url", "://", -1), "/", 1))
+        .withColumn("host_salt", F.pmod(F.xxhash64("host"), F.lit(p)).cast("int"))
+        .withColumn("priority", F.lit(priority).cast("int"))
+        .withColumn("attempt", F.lit(0))
+        .withColumn("depth", F.lit(0))
+        .withColumn("enqueue_step", F.lit(crawler.step).cast("int"))
+        .withColumn("not_before_step", F.lit(crawler.step).cast("int"))
+        .withColumn("seq", F.xxhash64("url"))
+        .join(f_t.read().select("url_hash"), "url_hash", "left_anti")
+        .select(*_FRONTIER_COLS)
+    )
+    f_t.append(rows)
+    return n
+
+
+def changed_since_refetch(crawler: Crawler) -> DataFrame:
+    """Per-url change detection across recrawl snapshots: urls harvested more
+    than once whose content etag differs between first and last fetch."""
+    pages = crawler.catalog.table("pages").read().filter(F.col("status") == 200)
+    w_first = F.min(F.struct("superstep", "etag")).alias("first")
+    w_last = F.max(F.struct("superstep", "etag")).alias("last")
+    agg = pages.groupBy("url_hash", "url").agg(
+        F.count("*").alias("n_fetches"), w_first, w_last
+    )
+    return (
+        agg.filter(F.col("n_fetches") > 1)
+        .select(
+            "url",
+            "n_fetches",
+            F.col("first.etag").alias("etag_first"),
+            F.col("last.etag").alias("etag_last"),
+            (F.col("first.etag") != F.col("last.etag")).alias("changed"),
+        )
+    )
+
+
 def tracker_flush(crawler: Crawler) -> None:
     """Tracker flush (D4): drop the seen table + reset bloom filters."""
     crawler.catalog.table("seen").drop_data()

@@ -228,6 +228,7 @@ class Crawler:
             "enqueue_step", "seq",
             F.lit(step).cast("int").alias("superstep"),
             "status", "fetch_ms",
+            F.md5(F.encode("text", "UTF-8")).alias("etag"),
         )
         pages_sid = pages_t.append(harvest)
         _mark("w_pages")

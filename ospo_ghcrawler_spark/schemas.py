@@ -42,6 +42,11 @@ HARVEST_SCHEMA = T.StructType(
         T.StructField("superstep", T.IntegerType(), False),
         T.StructField("status", T.IntegerType(), False),  # 200 / 404 / 599
         T.StructField("fetch_ms", T.LongType(), True),
+        # content fingerprint (md5 of extracted text) — the etag analog for
+        # conditional refetch / change detection across recrawl snapshots
+        # (reference storageDocStore.etag, providers/storage/
+        # storageDocStore.js:79-91)
+        T.StructField("etag", T.StringType(), True),
     ]
 )
 

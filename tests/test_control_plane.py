@@ -78,3 +78,33 @@ def test_tracker_flush_allows_recrawl(crawler):
     C.tracker_flush(crawler)
     crawler.seed([u])
     assert crawler.catalog.table("frontier").read().count() == 1  # recrawlable
+
+
+def test_refetch_recrawl(spark, tmp_path):
+    """Conditional refetch (reference etag/304 semantics): requeued urls are
+    re-fetched exactly once more; static content shows changed=False; other
+    urls stay seen-blocked; stale bloom positives rescued correctly."""
+    corpus = synth_pages(spark, n_pages=N, n_hosts=H, links_per_page=3)
+    robots = synth_robots(spark, n_hosts=H)
+    c = Crawler(spark, str(tmp_path / "cat3"), corpus, robots,
+                CrawlConfig(batch_size=100), run_id="rf")
+    c.seed([page_url(i, N, H, False) for i in range(10)])
+    c.run(30)
+    before_pages = c.catalog.table("pages").read().filter(F.col("status") == 200).count()
+    before_seen = c.catalog.table("seen").read().count()
+
+    targets = [page_url(i, N, H, False) for i in (0, 1, 2)]
+    n = C.requeue_for_refetch(c, targets)
+    assert n == 3
+    c.run(10)
+
+    pages = c.catalog.table("pages").read().filter(F.col("status") == 200)
+    assert pages.count() == before_pages + 3
+    assert c.catalog.table("seen").read().count() == before_seen  # re-settled
+    two = pages.groupBy("url").count().filter("count = 2")
+    assert {r["url"] for r in two.collect()} == set(targets)
+
+    changes = {r["url"]: r for r in C.changed_since_refetch(c).collect()}
+    assert set(changes) == set(targets)
+    assert all(not r["changed"] for r in changes.values()), "static corpus: etags equal"
+    assert all(r["n_fetches"] == 2 for r in changes.values())
