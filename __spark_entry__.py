@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def g(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_shipped(spark)
+            # date_trunc/date_format parity with DuckDB's naive timestamps
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
         return g

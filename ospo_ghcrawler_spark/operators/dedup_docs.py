@@ -163,9 +163,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8, id_col: str = "doc_id") -> DataFrame:
-    """Pairs within Hamming distance — LSH-banded on 4×16-bit chunks (a pair
-    within distance ≤ max_hamming shares at least one exact chunk when
-    max_hamming < 4 chunks × ...), then exact popcount verification."""
+    """Pairs within Hamming distance: candidates banded on 4×16-bit chunks,
+    then exact popcount verification. By pigeonhole the chunk banding is
+    EXHAUSTIVE for hamming ≤ 3 (4 chunks cannot all differ) and best-effort
+    above; raise the chunk count for a stronger guarantee at higher radii."""
     sig = simhash(docs, id_col).cache()
     chunks = F.array(
         *[

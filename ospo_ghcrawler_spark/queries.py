@@ -167,19 +167,21 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value"),
         )
         .groupBy("host", "window_start")
-        .agg(F.sum("value").alias("consumed"), F.min("value").alias("baseline"))
-        .withColumn("remaining", F.greatest(F.lit(budget) - F.col("consumed"), F.lit(0.0)))
-        .withColumn("overage", F.greatest(F.col("consumed") - F.lit(budget), F.lit(0.0)))
+        # sums of doubles are addition-order-sensitive; round to a 6-dp grid
+        # so Spark's partial aggregation and DuckDB's sequential sum agree
+        .agg(F.round(F.sum("value"), 6).alias("consumed"), F.min("value").alias("baseline"))
+        .withColumn("remaining", F.round(F.greatest(F.lit(budget) - F.col("consumed"), F.lit(0.0)), 6))
+        .withColumn("overage", F.round(F.greatest(F.col("consumed") - F.lit(budget), F.lit(0.0)), 6))
     )
 
 
 Q_TOKEN_BUDGET_SQL = """
     SELECT 'h' || (user_id % 16) AS host,
            CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
-           sum(value) AS consumed,
+           round(sum(value), 6) AS consumed,
            min(value) AS baseline,
-           greatest(2000.0 - sum(value), 0.0) AS remaining,
-           greatest(sum(value) - 2000.0, 0.0) AS overage
+           round(greatest(2000.0 - round(sum(value), 6), 0.0), 6) AS remaining,
+           round(greatest(round(sum(value), 6) - 2000.0, 0.0), 6) AS overage
     FROM events
     GROUP BY 1, 2
 """
