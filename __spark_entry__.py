@@ -63,9 +63,11 @@ def entry(spark: SparkSession) -> DataFrame:
             .join(seen_by_host, "host", "left")
             .orderBy("host")
         )
-        summary = summary.cache()
-        summary.count()  # materialize before the catalog dir is removed
-        return summary
+        # materialize DURABLY before the catalog dir is removed: a cached
+        # plan can be evicted and would then recompute against deleted
+        # parquet; a driver-local copy cannot
+        rows = summary.collect()
+        return spark.createDataFrame(rows, schema=summary.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -92,8 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (rows-only ops omitted: simhash_pairs,
-    ann_lsh, ann_ivf, media_features — hash/projection-dependent; their
-    quality is pinned by tests instead)."""
+    ann_lsh, ann_ivf — hash/projection-dependent; their quality/recall is
+    pinned by tests instead)."""
     from ospo_ghcrawler_spark import queries as Q
 
     return dict(Q.ORACLES)

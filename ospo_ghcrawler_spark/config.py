@@ -58,6 +58,11 @@ class CrawlConfig:
     # "exhaust until now + window/4"
     # (/root/reference/providers/limiting/computeLimiter.js:50-55)
     bench_supersteps: int = 1
+    # per-call latency already accounted elsewhere, subtracted before the
+    # budget compare (computeLimiter.consume's `preallocated`,
+    # computeLimiter.js:27-31); the adaptive min-observed baseline is
+    # subtracted automatically
+    preallocated_ms: int = 0
     # defer wake-up in supersteps; analog of deferDelay=500ms
     # (/root/reference/lib/crawlerFactory.js:74)
     defer_supersteps: int = 1

@@ -18,7 +18,7 @@ control action is itself atomic and resumable, like everything else.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ospo_ghcrawler_spark.config import PRIORITY_NAMES
@@ -134,36 +134,55 @@ def requeue_deadletters(crawler: Crawler, priority: int = 2) -> int:
 # -- doc store ----------------------------------------------------------------
 
 
+def pages_latest(crawler: Crawler) -> DataFrame:
+    """Latest-version view of the doc store: one row per url, the most recent
+    successful fetch. The physical table is an append-only history (one row
+    per fetch); this view gives it the reference's upsert-by-URN read
+    semantics (storageDocStore.js:33-58 MERGEs on urn; mongodocstore.js:25-32
+    replaceOne) without rewriting the table — at scale this is the
+    Iceberg-MERGE-equivalent read path."""
+    pages = crawler.catalog.table("pages").read().filter(F.col("status") == 200)
+    w = Window.partitionBy("url_hash").orderBy(F.desc("superstep"))
+    return pages.withColumn("_v", F.row_number().over(w)).filter(F.col("_v") == 1).drop("_v")
+
+
 def doc_get(crawler: Crawler, url: str) -> DataFrame:
     """Doc lookup by url (storageDocStore.get via url→urn map, S3/S7 — here
-    the mapping is a column, so lookup is a pruned filter)."""
+    the mapping is a column, so lookup is a pruned filter). Upsert read
+    semantics: exactly the latest version, even after recrawls."""
     h = crawler.catalog.table("pages").read()
-    return h.filter((F.col("url_hash") == F.xxhash64(F.lit(url))) & (F.col("status") == 200))
+    return (
+        h.filter((F.col("url_hash") == F.xxhash64(F.lit(url))) & (F.col("status") == 200))
+        .orderBy(F.desc("superstep"))
+        .limit(1)
+    )
+
+
+def doc_history(crawler: Crawler, url: str) -> DataFrame:
+    """All stored versions of a url, newest first (the snapshot chain is the
+    reference's hourly delta trail, deltaStore.js:26-31)."""
+    h = crawler.catalog.table("pages").read()
+    return h.filter(
+        (F.col("url_hash") == F.xxhash64(F.lit(url))) & (F.col("status") == 200)
+    ).orderBy(F.desc("superstep"))
 
 
 def doc_etag(crawler: Crawler, url: str) -> str | None:
-    """Etag analog: fingerprint of the stored text (etag-only read, S3)."""
-    rows = doc_get(crawler, url).select(F.md5(F.encode("text", "UTF-8")).alias("etag")).collect()
+    """Etag of the LATEST stored version (etag-only read, S3) —
+    deterministic after recrawl: the max-superstep row wins."""
+    rows = doc_get(crawler, url).select("etag").collect()
     return rows[0]["etag"] if rows else None
 
 
 def doc_list_by_prefix(crawler: Crawler, url_prefix: str, cap: int = 10_000) -> DataFrame:
-    """URN-prefix scan (storageDocStore.list, cap 10000 — S4)."""
-    return (
-        crawler.catalog.table("pages")
-        .read()
-        .filter(F.col("url").startswith(url_prefix) & (F.col("status") == 200))
-        .limit(cap)
-    )
+    """URN-prefix scan over latest versions (storageDocStore.list, cap 10000
+    — S4)."""
+    return pages_latest(crawler).filter(F.col("url").startswith(url_prefix)).limit(cap)
 
 
 def doc_count_by_prefix(crawler: Crawler, url_prefix: str) -> int:
-    return (
-        crawler.catalog.table("pages")
-        .read()
-        .filter(F.col("url").startswith(url_prefix) & (F.col("status") == 200))
-        .count()
-    )
+    """Distinct-url count under a prefix (latest-version semantics, S4)."""
+    return pages_latest(crawler).filter(F.col("url").startswith(url_prefix)).count()
 
 
 def doc_delete(crawler: Crawler, url: str) -> int:
@@ -185,29 +204,33 @@ def requeue_for_refetch(crawler: Crawler, urls: list[str], priority: int = 2) ->
     extracted text) with the previous snapshot's.
 
     Returns the number requeued."""
-    from pyspark.sql import Row
+    from ospo_ghcrawler_spark.functions.urls import canonicalize_udf, host_col
 
     crawler._await_pending()
-    hashes = [
-        r["url_hash"]
-        for r in crawler.spark.createDataFrame([Row(url=u) for u in urls])
-        .select(F.xxhash64("url").alias("url_hash"))
-        .collect()
-    ]
+    # canonicalize at the edge like the seed path — a non-canonical but
+    # equivalent caller URL must hit the same url_hash/host identity
+    cand = (
+        crawler.spark.createDataFrame([(u,) for u in urls], ["url"])
+        .select(canonicalize_udf("url").alias("url"))
+        .filter(F.col("url").isNotNull())
+        .withColumn("url_hash", F.xxhash64("url"))
+        .dropDuplicates(["url_hash"])
+        .cache()
+    )
+    hashes = [r["url_hash"] for r in cand.select("url_hash").collect()]
     seen_t = crawler.catalog.table("seen")
     seen = seen_t.read()
     keep = seen.filter(~F.col("url_hash").isin(hashes))
     n = seen.count() - keep.count()
     if n == 0:
+        cand.unpersist()
         return 0
     seen_t.overwrite(keep)
     f_t = crawler.catalog.table("frontier")
     p = crawler.cfg.frontier_partitions
     rows = (
-        crawler.spark.createDataFrame([(u,) for u in urls], ["url"])
-        .withColumn("url_hash", F.xxhash64("url"))
-        .filter(F.col("url_hash").isin(hashes))
-        .withColumn("host", F.substring_index(F.substring_index("url", "://", -1), "/", 1))
+        cand
+        .withColumn("host", host_col(F.col("url")))
         .withColumn("host_salt", F.pmod(F.xxhash64("host"), F.lit(p)).cast("int"))
         .withColumn("priority", F.lit(priority).cast("int"))
         .withColumn("attempt", F.lit(0))
@@ -219,6 +242,7 @@ def requeue_for_refetch(crawler: Crawler, urls: list[str], priority: int = 2) ->
         .select(*_FRONTIER_COLS)
     )
     f_t.append(rows)
+    cand.unpersist()
     return n
 
 

@@ -134,9 +134,43 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, 0.0, id_col, text_col)  # jaccard on demand
+    return jaccard_verify_candidates(docs, candidates, threshold, id_col, text_col)
+
+
+def jaccard_verify_candidates(
+    docs: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate (a_id, b_id) pairs
+    — the verification stage of every LSH-style dedup. Cost is
+    Σ over candidate pairs of |shingles(a)|, never all-pairs: candidates join
+    onto a's shingles (AQE broadcasts when the pair set is small), then one
+    shuffle join on (b_id, shingle) intersects with b's shingles (the scale
+    path the reference's per-request dedup decision implies,
+    redisRequestTracker.js:17-41)."""
+    g = shingles(docs, id_col, text_col, n)
+    sizes = g.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    ga = g.select(F.col(id_col).alias("a_id"), "shingle")
+    gb = g.select(F.col(id_col).alias("b_id"), "shingle")
+    common = (
+        candidates
+        .join(ga, "a_id")
+        .join(gb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
     return (
-        candidates.join(exact, ["a_id", "b_id"])
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
@@ -162,31 +196,64 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8, id_col: str = "doc_id") -> DataFrame:
-    """Pairs within Hamming distance: candidates banded on 4×16-bit chunks,
-    then exact popcount verification. By pigeonhole the chunk banding is
-    EXHAUSTIVE for hamming ≤ 3 (4 chunks cannot all differ) and best-effort
-    above; raise the chunk count for a stronger guarantee at higher radii."""
-    sig = simhash(docs, id_col).cache()
+def _chunk_bounds(n_bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """(start, length) of n_chunks near-equal bit ranges covering n_bits."""
+    base, rem = divmod(n_bits, n_chunks)
+    bounds, start = [], 0
+    for c in range(n_chunks):
+        length = base + (1 if c < rem else 0)
+        bounds.append((start, length))
+        start += length
+    return bounds
+
+
+def simhash_candidates(sig: DataFrame, n_chunks: int, id_col: str = "doc_id") -> DataFrame:
+    """Candidate (a_id, b_id) pairs whose 64-bit ``simhash`` signatures agree
+    on at least one of ``n_chunks`` bit-range chunks. By pigeonhole this is
+    EXHAUSTIVE for Hamming distance ≤ n_chunks − 1: k differing bits can
+    dirty at most k chunks, so with k < n_chunks one chunk must match."""
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                F.shiftright(F.col("simhash"), start)
+                .bitwiseAND(F.lit((1 << length) - 1))
+                .alias("val"),
             )
-            for c in range(4)
+            for c, (start, length) in enumerate(_chunk_bounds(64, n_chunks))
         ]
     )
     banded = sig.select(F.col(id_col), F.explode(chunks).alias("cc")).select(
         id_col, F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    return (
         a.join(b, ["chunk", "val"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
         .distinct()
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming``: candidates banded on
+    ``n_chunks`` bit-range chunks (default max_hamming + 1), then exact
+    popcount verification. With n_chunks = max_hamming + 1 the banding is
+    EXHAUSTIVE at the requested radius (pigeonhole: ≤ max_hamming differing
+    bits cannot dirty every chunk), so the result is the complete pair set —
+    no silent under-recall at any radius up to 63 (the 64-bit signature caps
+    the chunk count at 64 one-bit chunks; radius 64 means "all pairs" and is
+    not a banding problem)."""
+    n_chunks = n_chunks if n_chunks is not None else min(max_hamming + 1, 64)
+    if n_chunks > 64:
+        raise ValueError("n_chunks must be ≤ 64 (one bit per chunk minimum)")
+    sig = simhash(docs, id_col).cache()
+    cand = simhash_candidates(sig, n_chunks, id_col)
     sa = sig.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sig_b"))
     return (

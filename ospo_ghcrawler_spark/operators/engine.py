@@ -33,7 +33,6 @@ from ospo_ghcrawler_spark.functions.extract import extract_pages_map_in_pandas
 from ospo_ghcrawler_spark.functions.urls import canonicalize_udf, host_col
 from ospo_ghcrawler_spark.operators.dedup import (
     BloomFamily,
-    attenuate,
     build_bloom_distributed,
     seen_filter,
 )
@@ -130,7 +129,14 @@ class Crawler:
         Deduped against seen + frontier before append."""
         self._await_pending()
         rows = self._frontier_rows(urls, priority, self.step)
-        rows = attenuate(rows)
+        # within-list dedup must be deterministic: keep the lowest seq per
+        # url_hash (dropDuplicates would keep a partition-order-dependent row)
+        w_seed = Window.partitionBy("url_hash").orderBy("seq")
+        rows = (
+            rows.withColumn("_rk", F.row_number().over(w_seed))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
         rows = robots_allowed_filter(rows, self.robots)
         seen = self.catalog.table("seen").read()
         rows = seen_filter(rows, seen, fam=None)  # seeds are few — exact join
@@ -168,9 +174,12 @@ class Crawler:
         # the frontier table is written synchronously each superstep, so it
         # is always current here; per-host benches come from the previous
         # step's in-memory metrics plan (parquet-rooted), so selection never
-        # waits on the backgrounded metrics write
+        # waits on the backgrounded metrics write. Multi-superstep benches
+        # (bench_supersteps > 1) need the lookback window, so they read the
+        # committed metrics table instead (ADVICE r01: a benched host emits no
+        # metrics while benched, so a 1-step lookback expires benches early).
         frontier = frontier_t.read().cache()
-        if self._last_metrics is not None:
+        if cfg.bench_supersteps <= 1 and self._last_metrics is not None:
             metrics_prev = self._last_metrics
         else:
             self._await_pending()
@@ -335,6 +344,7 @@ class Crawler:
                 F.sum((F.col("status") == 404).cast("long")).alias("fetched_404"),
                 F.sum((F.col("status") >= 500).cast("long")).alias("failed"),
                 F.sum("fetch_ms").alias("fetch_ms_sum"),
+                F.min("fetch_ms").alias("fetch_ms_min"),
                 F.sum(F.coalesce(F.octet_length("html"), F.lit(0)).cast("long")).alias("bytes"),
             )
             .withColumn("superstep", F.lit(step).cast("int"))
@@ -344,7 +354,7 @@ class Crawler:
         )
         # per-step edge/dedup counts ride on a synthetic "__run__" row
         run_row = self.spark.createDataFrame(
-            [(step, "__run__", n_selected, 0, 0, 0, n_new, n_edges_raw - n_new, 0, 0)],
+            [(step, "__run__", n_selected, 0, 0, 0, n_new, n_edges_raw - n_new, 0, None, 0)],
             schema=self.catalog.table("metrics").schema,
         )
 
@@ -373,8 +383,16 @@ class Crawler:
         self._last_metrics = metrics  # parquet-rooted plan for next benches
         retire = [df for df in (frontier, selected, new_rows) if df is not None]
 
-        frontier_t.overwrite(next_frontier)
+        frontier_sid = frontier_t.overwrite(next_frontier)
         _mark("w_frontier")
+
+        # snapshot ids for the manifest are captured AT WRITE TIME (the
+        # append/overwrite return values), never via current_snapshot() inside
+        # the background commit — the next superstep's synchronous pages
+        # append can land before this group finishes, and a manifest entry
+        # pointing at a later pages snapshot would duplicate that harvest on
+        # resume (ADVICE r01, high).
+        dead_sid_prev = self.catalog.table("deadletters").current_snapshot()
 
         def _commit_rest() -> None:
             def _bloom_job():
@@ -403,8 +421,13 @@ class Crawler:
                     self._bloom_bc = None  # rebroadcast lazily next superstep
             self.manifest.record(
                 step,
-                {name: self.catalog.table(name).current_snapshot()
-                 for name in ("frontier", "pages", "seen", "deadletters", "metrics")},
+                {
+                    "frontier": frontier_sid,
+                    "pages": pages_sid,
+                    "seen": results["seen"],
+                    "deadletters": results.get("dead", dead_sid_prev),
+                    "metrics": results["metrics"],
+                },
                 stats,
             )
             for df in retire:

@@ -62,18 +62,75 @@ def effective_host_budget(robots: DataFrame, cfg: CrawlConfig) -> DataFrame:
     )
 
 
-def compute_limiter_benches(metrics_prev: DataFrame, cfg: CrawlConfig, step: int) -> DataFrame:
-    """Hosts whose summed fetch latency in the previous superstep window blew
-    the compute budget → benched until step + bench_supersteps.
+def consume_arithmetic(
+    amount: float,
+    baseline: float,
+    preallocated: float,
+    current: float,
+    limit: float,
+    window_sec: float,
+) -> dict:
+    """The reference ComputeLimiter's consume/allocate arithmetic as a pure
+    function (providers/limiting/computeLimiter.js:27-58):
 
-    Returns (host, not_before_step) to be merged onto the frontier.
+    - the baseline adapts down to the fastest observed call (line 30);
+    - consumed = amount - baseline - preallocated (line 31);
+    - over the limit → overage + a reset window/4 ahead (lines 51-55);
+    - otherwise → remaining.
     """
+    baseline = min(amount, baseline)
+    consumed = amount - baseline - preallocated
+    new_current = current + consumed
+    if new_current > limit:
+        return {
+            "baseline": baseline,
+            "consumed": consumed,
+            "overage": new_current - limit,
+            "reset_delta_ms": int(window_sec * 1000 // 4),
+        }
+    return {"baseline": baseline, "consumed": consumed, "remaining": limit - new_current}
+
+
+def compute_limiter_benches(metrics_prev: DataFrame, cfg: CrawlConfig, step: int) -> DataFrame:
+    """Hosts whose *effective* consumed latency in a recent superstep window
+    blew the compute budget → benched until overrun_step + 1 + bench_supersteps.
+
+    Batch re-expression of ComputeLimiter.consume (computeLimiter.js:27-33):
+    per window, consumed = Σ amount − n·baseline − n·preallocated, where the
+    baseline is the min observed per-call latency (the adaptive floor) and
+    preallocated is the per-call amount already accounted elsewhere. The
+    lookback spans ``bench_supersteps`` windows so a bench persists even
+    though a benched host emits no metrics while benched.
+
+    Returns (host, bench_until) to be merged onto the frontier.
+    """
+    lookback = max(cfg.bench_supersteps, 1)
+    window = metrics_prev.filter(
+        (F.col("superstep") >= step - lookback)
+        & (F.col("superstep") < step)
+        & (F.col("host") != "__run__")
+    )
+    per_step = window.groupBy("host", "superstep").agg(
+        F.sum("fetch_ms_sum").alias("spent_ms"),
+        F.sum("selected").alias("n_calls"),
+    )
+    # adaptive baseline: min per-call latency the host has shown in the window
+    base = window.groupBy("host").agg(
+        F.coalesce(F.min("fetch_ms_min"), F.lit(0)).alias("baseline_ms")
+    )
+    consumed = per_step.join(base, "host").withColumn(
+        "consumed_ms",
+        F.col("spent_ms")
+        - F.col("n_calls") * (F.col("baseline_ms") + F.lit(cfg.preallocated_ms)),
+    )
     return (
-        metrics_prev.filter(F.col("superstep") == step - 1)
+        consumed.filter(F.col("consumed_ms") > cfg.compute_budget_ms)
         .groupBy("host")
-        .agg(F.sum("fetch_ms_sum").alias("spent_ms"))
-        .filter(F.col("spent_ms") > cfg.compute_budget_ms)
-        .select("host", F.lit(step + cfg.bench_supersteps).cast("int").alias("bench_until"))
+        .agg(F.max("superstep").alias("overrun_step"))
+        .select(
+            "host",
+            (F.col("overrun_step") + 1 + cfg.bench_supersteps).cast("int").alias("bench_until"),
+        )
     )
 
 

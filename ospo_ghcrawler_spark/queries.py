@@ -497,7 +497,9 @@ Q_MINHASH_LSH_SQL = Q_NGRAM_JACCARD_SQL
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (no SQL oracle — hash-dependent; rows-only)."""
+    """SimHash near-dup pairs (no SQL oracle — hash-dependent; rows-only).
+    Banding uses max_hamming+1 chunks, so recall at HAMMING_K is exhaustive
+    (pigeonhole; pinned by tests/test_dedup_docs.py)."""
     docs = _t(spark, sf_dir, "documents")
     return DD.simhash_pairs(docs, HAMMING_K)
 
@@ -662,6 +664,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, TOPK, dim=64)
 
 
+def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = n_clusters — probing every cluster is exactly brute
+    force, so this pins the whole IVF machinery (assignment, probing, re-rank)
+    against the exact-cosine SQL oracle, value-hash and all."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id")
+    out = SIM.ivf_topk(emb, queries, TOPK, dim=64, n_clusters=16, nprobe=16)
+    return out.select("q_id", "rank", "neighbor_id", F.round("cos", 9).alias("cos9"))
+
+
 # ---------------------------------------------------------------------------
 # M: multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -689,11 +701,36 @@ Q_BINARY_META_SQL = """
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fake featurizer over binary payloads (byte histogram) —
-    exercises the real mapInPandas decode path (rows-only check)."""
+    """Deterministic fake featurizer over binary payloads (16-bin high-nibble
+    byte histogram) — exercises the real mapInPandas decode path. The array
+    column is exploded to (bin, n) rows so the result is driver-hashable and
+    fully oracle-checkable (documents are ASCII, so byte bins == char-class
+    counts in the SQL oracle)."""
     docs = _t(spark, sf_dir, "documents")
     media = MM.attach_payload(docs, "doc_id", "text", mime="text/plain")
-    return MM.feature_extract(media)
+    feats = MM.feature_extract(media)
+    return feats.select(
+        "media_id", "mime", "n_bytes", F.posexplode("features").alias("bin", "n")
+    )
+
+
+def _nibble_count_sql(i: int) -> str:
+    lo, hi = i * 16, i * 16 + 15
+    return f"len(regexp_extract_all(text, '[\\x{lo:02x}-\\x{hi:02x}]'))"
+
+
+Q_MEDIA_FEATURES_SQL = f"""
+    WITH s AS (
+      SELECT doc_id AS media_id, 'text/plain' AS mime,
+             octet_length(encode(text)) AS n_bytes,
+             [{", ".join(_nibble_count_sql(i) for i in range(16))}] AS feats
+      FROM documents
+    )
+    SELECT media_id, mime, n_bytes,
+           CAST(unnest(range(16)) AS INTEGER) AS bin,
+           CAST(unnest(feats) AS BIGINT) AS n
+    FROM s
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -729,6 +766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
     # multimodal
     "binary_meta": q_binary_meta,
     "media_features": q_media_features,
@@ -757,7 +795,9 @@ ORACLES: dict[str, str] = {
     "fingerprint": Q_FINGERPRINT_SQL,
     "embedding_topk": Q_EMBEDDING_TOPK_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
+    "ann_ivf_exhaustive": Q_EMBEDDING_TOPK_SQL,  # nprobe=all ≡ brute force
     "binary_meta": Q_BINARY_META_SQL,
-    # simhash_pairs / ann_lsh / ann_ivf / media_features: hash- or
-    # projection-dependent → rows-only checks (tests pin their quality)
+    "media_features": Q_MEDIA_FEATURES_SQL,
+    # simhash_pairs / ann_lsh / ann_ivf: hash- or projection-dependent →
+    # rows-only checks (tests pin their quality/recall instead)
 }

@@ -133,6 +133,10 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("new_edges", T.LongType(), False),
         T.StructField("dedup_bounced", T.LongType(), False),
         T.StructField("fetch_ms_sum", T.LongType(), False),
+        # min per-call latency in the window — the compute limiter's adaptive
+        # baseline observation (reference computeLimiter.js:30: baseline =
+        # min(amount, baseline)); null on the synthetic "__run__" row
+        T.StructField("fetch_ms_min", T.LongType(), True),
         T.StructField("bytes", T.LongType(), False),
     ]
 )

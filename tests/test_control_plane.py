@@ -70,6 +70,37 @@ def test_doc_store_ops(crawler):
     assert C.status(crawler)["last_committed_superstep"] is not None
 
 
+def test_doc_latest_version_after_refetch(spark, tmp_path):
+    """Upsert read semantics (storageDocStore.js:33-58): after a recrawl, a
+    url has 2 history rows but doc_get returns exactly the latest one;
+    doc_etag is deterministic; list/count see one row per url; doc_history
+    exposes the full trail newest-first. Requeue accepts non-canonical but
+    equivalent caller URLs (ADVICE r01)."""
+    corpus = synth_pages(spark, n_pages=N, n_hosts=H, links_per_page=3)
+    robots = synth_robots(spark, n_hosts=H)
+    c = Crawler(spark, str(tmp_path / "cat4"), corpus, robots,
+                CrawlConfig(batch_size=100), run_id="lv")
+    c.seed([page_url(i, N, H, False) for i in range(10)])
+    c.run(30)
+    u = page_url(0, N, H, False)
+    etag_before = C.doc_etag(c, u)
+    # non-canonical spellings of the same url must canonicalize to one target
+    messy = u.replace("http://", "HTTP://") + "#frag"
+    assert C.requeue_for_refetch(c, [messy, u]) == 1
+    c.run(10)
+    assert C.doc_history(c, u).count() == 2
+    got = C.doc_get(c, u).collect()
+    assert len(got) == 1, "doc_get must return exactly the latest version"
+    assert got[0]["superstep"] == max(
+        r["superstep"] for r in C.doc_history(c, u).collect()
+    )
+    assert C.doc_etag(c, u) == etag_before  # static corpus: content unchanged
+    n_latest = C.doc_count_by_prefix(c, "http://")
+    assert n_latest == C.pages_latest(c).count()
+    hist = c.catalog.table("pages").read().filter(F.col("status") == 200).count()
+    assert hist == n_latest + 1  # one url carries an extra history row
+
+
 def test_tracker_flush_allows_recrawl(crawler):
     crawler.run(30)
     u = page_url(1, N, H, False)

@@ -119,6 +119,48 @@ def test_compute_limiter_benches_host(spark, tmp_path):
         assert c.catalog.table("frontier").read().count() > 0
 
 
+def test_consume_arithmetic_reference_parity():
+    """Pure re-derivation of ComputeLimiter.consume/allocate
+    (computeLimiter.js:27-58): adaptive baseline, preallocation subtraction,
+    overage + window/4 reset on overrun."""
+    from ospo_ghcrawler_spark.operators.politeness import consume_arithmetic
+
+    # under the limit: consumed = amount - min(amount, baseline) - prealloc
+    r = consume_arithmetic(amount=700, baseline=500, preallocated=100,
+                           current=0, limit=15000, window_sec=15)
+    assert r["baseline"] == 500 and r["consumed"] == 100 and r["remaining"] == 14900
+    # baseline adapts DOWN to a faster observation
+    r = consume_arithmetic(amount=300, baseline=500, preallocated=0,
+                           current=0, limit=15000, window_sec=15)
+    assert r["baseline"] == 300 and r["consumed"] == 0
+    # overrun: overage + reset window/4 ahead (computeLimiter.js:51-55)
+    r = consume_arithmetic(amount=20500, baseline=500, preallocated=0,
+                           current=0, limit=15000, window_sec=15)
+    assert r["overage"] == 5000 and r["reset_delta_ms"] == 3750
+
+
+def test_bench_persists_for_bench_supersteps(spark, tmp_path):
+    """bench_supersteps > 1 must keep the host benched for that many steps
+    even though a benched host emits no metrics while benched (ADVICE r01)."""
+    N, H = 400, 2
+    corpus = synth_pages(spark, n_pages=N, n_hosts=H, links_per_page=0).cache()
+    robots = synth_robots(spark, n_hosts=H, default_budget=1000)
+    # batch 60 of 120 seeds: half the frontier stays queued while benched
+    c = _crawler(
+        spark, tmp_path, corpus, robots,
+        batch_size=60, host_budget=1000, compute_budget_ms=1000, bench_supersteps=3,
+    )
+    c.seed([page_url(i, N, H, False) for i in range(120)])
+    s0 = c.superstep()
+    assert s0["selected"] > 0
+    # both hosts blow the 1000ms budget at step 0 → benched for steps 1..3
+    for expect_idle_step in (1, 2, 3):
+        s = c.superstep()
+        assert s.get("idle"), f"step {expect_idle_step} should be fully benched"
+    s4 = c.superstep()
+    assert s4.get("selected", 0) > 0, "bench must expire at step 4"
+
+
 def test_priority_preemption(spark, tmp_path):
     """Events (priority 0) preempt normal work; retry of event work re-enters
     at immediate (reference _retryQueue='immediate',

@@ -57,6 +57,46 @@ def test_simhash_near_dups(docs):
     assert ham(0, 2) < ham(0, 4)
 
 
+def test_simhash_banding_exhaustive_at_radius(spark):
+    """Pigeonhole guarantee: with n_chunks = max_hamming + 1 the banding must
+    surface a pair at EXACTLY the requested radius. Constructs signature pairs
+    at hamming 7 (one bit flipped in 7 different chunks — the banding's worst
+    case) and checks simhash_candidates finds them with 8 chunks but the old
+    4-chunk scheme provably cannot."""
+    base = 0x0123_4567_89AB_CDEF
+    # flip the low bit of 7 of the 8 8-bit chunks → hamming 7, and only one
+    # chunk (the highest) left untouched: the single pigeonhole survivor
+    flipped = base
+    for c in range(7):
+        flipped ^= 1 << (8 * c)
+    sig = spark.createDataFrame(
+        [(0, base), (1, flipped)], ["doc_id", "simhash"]
+    )
+    found8 = {(r["a_id"], r["b_id"]) for r in DD.simhash_candidates(sig, 8).collect()}
+    assert (0, 1) in found8, "8-chunk banding must find a hamming-7 pair"
+    found4 = {(r["a_id"], r["b_id"]) for r in DD.simhash_candidates(sig, 4).collect()}
+    assert (0, 1) not in found4, "fixture sanity: 4 chunks all dirty"
+
+
+def test_simhash_pairs_default_radius_is_exhaustive(docs):
+    """Default radius 3 → 4 chunks; every reported pair is within radius and
+    the exhaustive radius-64 sweep finds no radius-3 pair the banding missed."""
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in DD.simhash_pairs(docs).collect()}
+    assert all(h <= 3 for h in got.values())
+    wide = {(r["a_id"], r["b_id"]): r["hamming"] for r in
+            DD.simhash_pairs(docs, max_hamming=63).collect()}
+    assert {p for p, h in wide.items() if h <= 3} == set(got)
+
+
+def test_jaccard_verify_candidates_restricted(docs):
+    """The LSH verify stage computes Jaccard ONLY for candidate pairs."""
+    cand = docs.sparkSession.createDataFrame([(0, 1), (0, 4)], ["a_id", "b_id"])
+    out = {(r["a_id"], r["b_id"]): r["jaccard"] for r in
+           DD.jaccard_verify_candidates(docs, cand, 0.0).collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 2) not in out, "non-candidate pair must not be scored"
+
+
 def test_lang_id_markers(spark):
     rows = [
         (0, "the cat and the dog is here"),
