@@ -58,7 +58,10 @@ BENCH_QUERIES = [
 ]
 
 
-def crawl_worker(cores: int, corpus_dir: str, robots_dir: str, n_pages: int, out: str) -> None:
+def crawl_worker(
+    cores: int, corpus_dir: str, robots_dir: str, n_pages: int, out: str,
+    polite: bool = False,
+) -> None:
     from pyspark.sql import functions as F
 
     from ospo_ghcrawler_spark.config import CrawlConfig
@@ -69,17 +72,34 @@ def crawl_worker(cores: int, corpus_dir: str, robots_dir: str, n_pages: int, out
     spark = get_spark(f"crawl_bench_{cores}", cores=cores, shuffle_partitions=cores)
     corpus = spark.read.parquet(corpus_dir)
     robots = spark.read.parquet(robots_dir)
-    cfg = CrawlConfig(
-        batch_size=4 * max(n_pages, 1),  # always covers the frontier: no top-k merge
-        host_budget=1 << 30,
-        compute_budget_ms=1 << 40,  # throughput bench: politeness unbound
-        max_depth=64,
-        frontier_partitions=2 * cores,
-        bloom_shards=16,
-        bloom_bits_per_shard=1 << 23,  # 16 MB family ≈ sized for ~5M urls @1% FPR
-        collect_stats=False,
-        expect_failures=False,  # simulated fetch, no injection → skip retry branch
-    )
+    if polite:
+        # politeness-BOUND leg: the per-host window rank + compute budget are
+        # live in the measured plan (host_budget < batch ⇒ the budget_unbound
+        # fast path cannot trip) — covers the north rule's politeness
+        # semantics under measurement, not just under tests
+        cfg = CrawlConfig(
+            batch_size=n_pages,
+            host_budget=max(50, n_pages // (2 * N_HOSTS)),
+            compute_budget_ms=1 << 40,
+            max_depth=64,
+            frontier_partitions=2 * cores,
+            bloom_shards=16,
+            bloom_bits_per_shard=1 << 23,
+            collect_stats=False,
+            expect_failures=False,
+        )
+    else:
+        cfg = CrawlConfig(
+            batch_size=4 * max(n_pages, 1),  # always covers the frontier: no top-k merge
+            host_budget=1 << 30,
+            compute_budget_ms=1 << 40,  # throughput bench: politeness unbound
+            max_depth=64,
+            frontier_partitions=2 * cores,
+            bloom_shards=16,
+            bloom_bits_per_shard=1 << 23,  # 16 MB family ≈ sized for ~5M urls @1% FPR
+            collect_stats=False,
+            expect_failures=False,  # simulated fetch, no injection → skip retry branch
+        )
     root = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_", dir=WORKDIR_BASE)
     try:
         crawler = Crawler(spark, root, corpus, robots, cfg, run_id=f"bench{cores}")
@@ -114,13 +134,15 @@ def crawl_worker(cores: int, corpus_dir: str, robots_dir: str, n_pages: int, out
         shutil.rmtree(root, ignore_errors=True)
 
 
-def run_crawl_subprocess(cores: int, corpus_dir: str, robots_dir: str, n_pages: int) -> dict:
+def run_crawl_subprocess(
+    cores: int, corpus_dir: str, robots_dir: str, n_pages: int, polite: bool = False
+) -> dict:
     out = tempfile.mktemp(suffix=".json")
     cmd = [
         sys.executable, os.path.abspath(__file__), "--crawl-worker",
         "--cores", str(cores), "--corpus", corpus_dir, "--robots", robots_dir,
         "--pages", str(n_pages), "--out", out,
-    ]
+    ] + (["--polite"] if polite else [])
     env = dict(os.environ)
     subprocess.run(cmd, check=True, env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     with open(out) as f:
@@ -148,6 +170,16 @@ def main() -> None:
         "overwrite"
     ).parquet(robots_dir)
 
+    # second, smaller corpus for the politeness-BOUND leg (the unbound
+    # headline trips the budget_unbound fast path by design; this leg keeps
+    # the per-host window rank in the measured plan)
+    n_polite = min(n_pages, 100_000)
+    polite_dir = f"{work}/pages_polite"
+    synth_pages(
+        spark, n_pages=n_polite, n_hosts=N_HOSTS, links_per_page=LINKS,
+        partitions=2 * CPUS, sentences=SENTENCES,
+    ).write.mode("overwrite").parquet(polite_dir)
+
     timings: dict[str, float] = {}
     try:
         # ---- crawl at N and 4N cores ----------------------------------------
@@ -158,6 +190,10 @@ def main() -> None:
         timings[f"crawl_local{hi}"] = round(r_hi["wall_sec"], 3)
         deterministic = r_lo["urls_settled"] == r_hi["urls_settled"]
         efficiency = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (hi / lo)
+
+        # ---- politeness-bound leg (window rank live in the plan) -------------
+        r_pol = run_crawl_subprocess(hi, polite_dir, robots_dir, n_polite, polite=True)
+        timings["crawl_polite"] = round(r_pol["wall_sec"], 3)
 
         # ---- query timings at SF ---------------------------------------------
         for name in BENCH_QUERIES:
@@ -182,6 +218,12 @@ def main() -> None:
                 "cores_pair": [lo, hi],
                 "deterministic_across_parallelism": deterministic,
             },
+            "crawl_polite": {
+                "corpus_pages": n_polite,
+                "urls_settled": r_pol["urls_settled"],
+                "supersteps": r_pol["supersteps"],
+                f"urls_per_sec_local{hi}": round(r_pol["urls_per_sec"], 1),
+            },
         }
 
         os.makedirs("BENCH", exist_ok=True)
@@ -192,7 +234,8 @@ def main() -> None:
                 "running the **identical crawl job** (same corpus parquet, same seeds,\n"
                 "same config) at two parallelism levels.\n\n"
                 f"- corpus: {n_pages} synthetic Common-Crawl-style pages, {N_HOSTS} hosts, "
-                f"{LINKS} links/page (~4 KB html)\n"
+                f"{LINKS} links/page (~{9.5 * SENTENCES / 60:.1f} KB html at "
+                f"{SENTENCES} sentences/page)\n"
                 f"- seeds: {n_pages // SEED_FRACTION}; supersteps: {r_hi['supersteps']}; "
                 f"URLs fetched+deduped: {r_hi['urls_settled']}\n\n"
                 "| parallelism | wall (s) | URLs/s |\n|---|---|---|\n"
@@ -203,7 +246,15 @@ def main() -> None:
                 f"Determinism across parallelism: both runs settled the **same URL set**"
                 f" ({r_lo['urls_settled']} == {r_hi['urls_settled']}: {deterministic}) —"
                 " selection is a pure function of table state.\n\n"
-                f"Per-step batch sizes (local[{hi}]): {r_hi['per_step_selected']}\n"
+                f"Per-step batch sizes (local[{hi}]): {r_hi['per_step_selected']}\n\n"
+                "## Politeness-bound leg (window rank live in the plan)\n\n"
+                f"{n_polite} pages, per-host budget "
+                f"{max(50, n_polite // (2 * N_HOSTS))}/superstep, local[{hi}]: "
+                f"{r_pol['urls_settled']} urls in {r_pol['wall_sec']:.1f}s over "
+                f"{r_pol['supersteps']} supersteps "
+                f"({r_pol['urls_per_sec']:.0f} urls/s) — the per-host politeness window,"
+                " token budgets, and weighted priority quotas are all in the measured"
+                " selection plan on this leg (no budget_unbound fast path).\n"
             )
         print(json.dumps(result))
     finally:
@@ -218,8 +269,9 @@ if __name__ == "__main__":
     ap.add_argument("--robots")
     ap.add_argument("--pages", type=int)
     ap.add_argument("--out")
+    ap.add_argument("--polite", action="store_true")
     args = ap.parse_args()
     if args.crawl_worker:
-        crawl_worker(args.cores, args.corpus, args.robots, args.pages, args.out)
+        crawl_worker(args.cores, args.corpus, args.robots, args.pages, args.out, args.polite)
     else:
         main()

@@ -81,6 +81,13 @@ class CrawlConfig:
     # host allow-list (None = all); analog of the org filter
     # (/root/reference/lib/crawlerFactory.js:633-650)
     allowed_hosts: tuple[str, ...] | None = None
+    # per-request policy → depth ceiling, min'd with max_depth at edge
+    # expansion (reference: Request.policy, routes/requests.js:79 — 'self'
+    # fetches without walking, shallow walks bounded). Policies not listed
+    # (e.g. 'default') walk to max_depth.
+    policy_depths: dict[str, int] = field(
+        default_factory=lambda: {"self": 0, "shallow": 2}
+    )
 
     # --- seen-set / dedup ---------------------------------------------------
     # bloom shards (by url_hash range) and bits per shard; sized so the same
@@ -95,6 +102,19 @@ class CrawlConfig:
     frontier_partitions: int = 32
     # hosts owning more than this share of the selected batch get salt fan-out
     hot_host_fanout_threshold: int = 1000
+
+    # --- storage commit shape ------------------------------------------------
+    # incremental frontier commit: a superstep replaces only the host_salt
+    # partitions it touched (selected/new/retried rows) instead of rewriting
+    # the whole frontier — at a 10^10-row frontier with a politeness-bound
+    # batch this turns a full-table rewrite into a few-partition one (Iceberg
+    # overwritePartitions semantics). Falls back to full overwrite when every
+    # partition was touched anyway.
+    incremental_frontier: bool = True
+    # fold a table's layer chain into one snapshot when its read fan-in
+    # exceeds this many layers (Iceberg rewrite_data_files cadence) — bounds
+    # long-run read fan-in for frontier and seen
+    compact_chain_len: int = 16
 
     # --- misc ---------------------------------------------------------------
     seed: int = 42

@@ -121,6 +121,7 @@ def requeue_deadletters(crawler: Crawler, priority: int = 2) -> int:
             F.lit(crawler.step).cast("int").alias("enqueue_step"),
             F.lit(crawler.step).cast("int").alias("not_before_step"),
             F.xxhash64("url").alias("seq"),
+            F.lit("default").alias("policy"),
         )
         .join(f_t.read().select("url_hash"), "url_hash", "left_anti")
         .select(*_FRONTIER_COLS)
@@ -238,6 +239,7 @@ def requeue_for_refetch(crawler: Crawler, urls: list[str], priority: int = 2) ->
         .withColumn("enqueue_step", F.lit(crawler.step).cast("int"))
         .withColumn("not_before_step", F.lit(crawler.step).cast("int"))
         .withColumn("seq", F.xxhash64("url"))
+        .withColumn("policy", F.lit("default"))
         .join(f_t.read().select("url_hash"), "url_hash", "left_anti")
         .select(*_FRONTIER_COLS)
     )

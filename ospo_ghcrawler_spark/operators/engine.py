@@ -43,7 +43,7 @@ from ospo_ghcrawler_spark.operators.politeness import (
     robots_allowed_filter,
 )
 from ospo_ghcrawler_spark.plans.catalog import Catalog
-from ospo_ghcrawler_spark.plans.selection import select_batch
+from ospo_ghcrawler_spark.plans.selection import policy_depth_col, select_batch
 from ospo_ghcrawler_spark.schemas import EXTRACT_SCHEMA, FRONTIER_SCHEMA
 
 Fetcher = Callable[[DataFrame, DataFrame, CrawlConfig], DataFrame]
@@ -104,7 +104,9 @@ class Crawler:
 
     # ------------------------------------------------------------------ seed
 
-    def _frontier_rows(self, urls: list[str], priority: int, step: int) -> DataFrame:
+    def _frontier_rows(
+        self, urls: list[str], priority: int, step: int, policy: str = "default"
+    ) -> DataFrame:
         p = self.cfg.frontier_partitions
         df = self.spark.createDataFrame(
             [(u, i) for i, u in enumerate(urls)], ["url", "seq"]
@@ -120,15 +122,20 @@ class Crawler:
             .withColumn("depth", F.lit(0))
             .withColumn("enqueue_step", F.lit(step).cast("int"))
             .withColumn("not_before_step", F.lit(step).cast("int"))
+            .withColumn("policy", F.lit(policy))
             .select(*[f.name for f in FRONTIER_SCHEMA.fields])
         )
 
-    def seed(self, urls: list[str], priority: int = PRIORITY_NORMAL) -> int:
+    def seed(
+        self, urls: list[str], priority: int = PRIORITY_NORMAL, policy: str = "default"
+    ) -> int:
         """Seed URLs onto the frontier (the reference's POST /requests,
-        default queue 'normal' — /root/reference/routes/requests.js:22-28).
+        default queue 'normal' — /root/reference/routes/requests.js:22-28;
+        per-request *policy* as routes/requests.js:79 — e.g. 'self' fetches
+        the seed without walking, 'shallow' walks 2 deep).
         Deduped against seen + frontier before append."""
         self._await_pending()
-        rows = self._frontier_rows(urls, priority, self.step)
+        rows = self._frontier_rows(urls, priority, self.step, policy)
         # within-list dedup must be deterministic: keep the lowest seq per
         # url_hash (dropDuplicates would keep a partition-order-dependent row)
         w_seed = Window.partitionBy("url_hash").orderBy("seq")
@@ -193,7 +200,7 @@ class Crawler:
             )
             .drop("bench_until")
         )
-        selected, n_selected = select_batch(
+        selected, n_selected, max_wake = select_batch(
             eligible_frontier, self.host_budgets, cfg, step, min_host_budget=self._min_budget
         )
         _mark("select")
@@ -202,12 +209,15 @@ class Crawler:
             # later step (the reference's defer/bench semantics, amqp10Queue
             # _deferUntil). Idle-advance while any statically-eligible row has
             # a future wake-up; return {} only on true exhaustion/starvation.
-            static = eligible_frontier.filter(F.col("depth") <= cfg.max_depth)
-            if cfg.allowed_hosts is not None:
-                static = static.filter(F.col("host").isin(*cfg.allowed_hosts))
-            row = static.agg(F.max("not_before_step").alias("m")).collect()
+            # (the unbound fast path returned max_wake from its stats job —
+            # zero extra jobs; the windowed path computes it here, lazily)
+            if max_wake is None:
+                static = eligible_frontier.filter(F.col("depth") <= cfg.max_depth)
+                if cfg.allowed_hosts is not None:
+                    static = static.filter(F.col("host").isin(*cfg.allowed_hosts))
+                row = static.agg(F.max("not_before_step").alias("m")).collect()
+                max_wake = row[0]["m"]
             frontier.unpersist()
-            max_wake = row[0]["m"]
             if max_wake is not None and max_wake > step:
                 self.step = step + 1
                 return {"selected": 0, "new_edges": 0, "bounced": 0, "idle": True}
@@ -247,12 +257,24 @@ class Crawler:
         failed = log.filter(F.col("status") >= 500)
 
         # ---- new edges: explode → scope/robots → dedup → sequence ----------
+        # edges inherit the parent request's traversal policy (batch-bounded
+        # broadcast join back to the selected rows) and expansion honors the
+        # policy's depth ceiling — the reference's per-request walk scope
+        # (routes/requests.js:79, TraversalPolicy)
+        parent_policy = F.broadcast(
+            selected.select(F.col("url_hash").alias("_ph"), "policy")
+        )
         links = (
-            ok.select("seq", "depth", F.posexplode("links").alias("pos", "url"))
+            ok.select(
+                F.col("url_hash").alias("_ph"), "seq", "depth",
+                F.posexplode("links").alias("pos", "url"),
+            )
+            .join(parent_policy, "_ph")
+            .drop("_ph")
             .withColumn("url_hash", F.xxhash64("url"))
             .withColumn("host", host_col(F.col("url")))
             .withColumn("depth", F.col("depth") + 1)
-            .filter(F.col("depth") <= cfg.max_depth)
+            .filter(F.col("depth") <= policy_depth_col(F.col("policy"), cfg))
         )
         edges = links
         if cfg.allowed_hosts is not None:
@@ -306,7 +328,8 @@ class Crawler:
 
         # ---- retries & dead letters ----------------------------------------
         retry = None if not cfg.expect_failures else (
-            failed.filter(F.col("attempt") + 1 < cfg.max_attempts)
+            failed.join(F.broadcast(selected.select("url_hash", "policy")), "url_hash")
+            .filter(F.col("attempt") + 1 < cfg.max_attempts)
             .withColumn("attempt", (F.col("attempt") + 1).cast("int"))
             .withColumn(
                 "priority",
@@ -383,7 +406,32 @@ class Crawler:
         self._last_metrics = metrics  # parquet-rooted plan for next benches
         retire = [df for df in (frontier, selected, new_rows) if df is not None]
 
-        frontier_sid = frontier_t.overwrite(next_frontier)
+        # incremental commit: only host_salt partitions holding selected /
+        # new / retried rows changed this superstep; untouched partitions'
+        # files stay byte-identical on disk (scale path: never rewrite the
+        # whole 10^10-row frontier). Touched-set discovery reads only cached
+        # slim columns. Full overwrite when everything was touched, or every
+        # compact_chain_len layers to bound read fan-in.
+        touched_src = selected.select("host_salt").unionByName(new_rows.select("host_salt"))
+        if retry is not None:
+            touched_src = touched_src.unionByName(retry.select("host_salt"))
+        if cfg.incremental_frontier:
+            touched = sorted(
+                r["host_salt"] for r in touched_src.distinct().collect()
+            )
+        else:
+            touched = list(range(cfg.frontier_partitions))
+        if (
+            len(touched) >= cfg.frontier_partitions
+            or frontier_t.chain_length() + 1 >= cfg.compact_chain_len
+        ):
+            frontier_sid = frontier_t.overwrite(next_frontier)
+        else:
+            frontier_sid = frontier_t.replace_partitions(
+                next_frontier.filter(F.col("host_salt").isin(touched)),
+                touched,
+                "host_salt",
+            )
         _mark("w_frontier")
 
         # snapshot ids for the manifest are captured AT WRITE TIME (the
@@ -432,6 +480,14 @@ class Crawler:
             )
             for df in retire:
                 df.unpersist()
+            # compaction cadence: fold append chains once read fan-in crosses
+            # the threshold (Iceberg rewrite_data_files). Runs after the
+            # manifest commit point; resume to a pre-compaction snapshot id
+            # stays valid because layer dirs are never deleted.
+            for tname in ("seen", "metrics"):
+                t = self.catalog.table(tname)
+                if t.chain_length() >= cfg.compact_chain_len:
+                    t.compact()
 
         if pipelined:
             self._pending = self._commit_pool.submit(_commit_rest)

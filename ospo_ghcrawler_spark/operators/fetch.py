@@ -53,29 +53,61 @@ def _status_and_latency(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
     )
 
 
+# one-time per-corpus url-membership broadcasts (miss detection): keyed by
+# DataFrame identity, bounded LRU — rebuilding this per superstep would add a
+# full corpus scan + broadcast-hash build of fixed cost to EVERY superstep
+_URL_SET_CACHE: dict[int, tuple[DataFrame, object]] = {}
+_URL_SET_CACHE_MAX = 8
+
+
+def _corpus_url_set(corpus: DataFrame):
+    key = id(corpus)
+    hit = _URL_SET_CACHE.get(key)
+    if hit is not None and hit[0] is corpus:
+        return hit[1]
+    urls = frozenset(r["url"] for r in corpus.select("url").collect())
+    bc = corpus.sparkSession.sparkContext.broadcast(urls)
+    if len(_URL_SET_CACHE) >= _URL_SET_CACHE_MAX:
+        _, (_, old_bc) = _URL_SET_CACHE.popitem()
+        old_bc.unpersist()
+    _URL_SET_CACHE[key] = (corpus, bc)
+    return bc
+
+
 def simulated_fetch(selected: DataFrame, corpus: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Serve the selected batch from the synthetic corpus WITHOUT ever
-    shuffling html: both joins broadcast slim key sets and stream the corpus
-    scan in place —
+    shuffling html:
 
     - hits  = corpus ⋈(BHJ, broadcast selected keys) — html never leaves its
       scan partition;
-    - misses = selected ⟕anti(broadcast corpus url list) → status 404.
+    - misses = selected rows absent from a one-time url-membership broadcast
+      (vectorized ``Series.isin`` probe) → status 404. Built once per corpus,
+      NOT per superstep: the universe is static, so re-deriving it each step
+      would be a per-step fixed cost for zero information.
 
     (A real network fetcher replaces this with a ``mapInPandas`` of batched
     async GETs over `selected` repartitioned by ``fetch_salt``; same output
-    contract. The corpus-url broadcast is sandbox-only — the simulated
-    universe is bounded, the real one is the network.)
+    contract. The url-membership set is sandbox-only — the simulated universe
+    is bounded, the real one is the network.)
     """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     sel_cols = [c for c in FETCH_OUT_COLS if c not in ("html", "lang", "warc_ts", "status", "fetch_ms")]
     sel_slim = selected.select(*sel_cols)
     body = corpus.select(F.col("url").alias("_curl"), "html", "lang", "warc_ts")
     hits = body.join(
         F.broadcast(sel_slim), sel_slim["url"] == body["_curl"], "inner"
     ).drop("_curl")
-    corpus_urls = corpus.select(F.col("url").alias("_curl2"))
+
+    bc = _corpus_url_set(corpus)
+
+    @pandas_udf("boolean")
+    def _in_corpus(urls: pd.Series) -> pd.Series:
+        return urls.isin(bc.value)
+
     misses = (
-        selected.join(F.broadcast(corpus_urls), selected["url"] == F.col("_curl2"), "left_anti")
+        selected.filter(~_in_corpus(F.col("url")))
         .withColumn("html", F.lit(None).cast("binary"))
         .withColumn("lang", F.lit(None).cast("string"))
         .withColumn("warc_ts", F.lit(None).cast("timestamp"))

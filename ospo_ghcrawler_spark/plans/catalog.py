@@ -1,11 +1,15 @@
 """Snapshot-table storage seam: Iceberg semantics over plain parquet.
 
-The engine needs exactly three table semantics from its store:
+The engine needs exactly four table semantics from its store:
 
 1. ``append(df)``  — add rows, new snapshot (Iceberg ``.writeTo().append()``);
-2. ``overwrite(df)`` — replace contents, new snapshot (Iceberg ``MERGE`` /
-   ``overwritePartitions``);
-3. ``set_current(snapshot_id)`` — roll the table back for exact resume
+2. ``overwrite(df)`` — replace contents, new snapshot (Iceberg ``MERGE``);
+3. ``replace_partitions(df, values, col)`` — replace only the named
+   partitions, leaving every other partition's files untouched (Iceberg
+   ``overwritePartitions`` / dynamic partition overwrite) — the scale-safe
+   frontier commit: a superstep rewrites only the ``host_salt`` partitions it
+   touched, never the whole 10^10-row frontier;
+4. ``set_current(snapshot_id)`` — roll the table back for exact resume
    (Iceberg ``rollback_to_snapshot``).
 
 The sandbox has pyspark 4.1.2 with **no Iceberg runtime jar**, so this module
@@ -91,6 +95,31 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame) -> int:
         return self._write(df, "overwrite")
 
+    def replace_partitions(self, df: DataFrame, values: list[int], col: str) -> int:
+        """Partition-level replacement (Iceberg dynamic partition overwrite):
+        *df* must contain ONLY rows whose *col* is in *values*; those
+        partitions' rows are replaced, all other partitions keep their
+        existing files byte-for-byte (reads mask older layers with a
+        pushed-down ``col NOT IN values`` filter instead of rewriting them)."""
+        m = self._load()
+        sid = max([s["id"] for s in m["snapshots"]], default=0) + 1
+        final = os.path.join(self.dir, f"s{sid:08d}-preplace")
+        tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+        m["snapshots"].append(
+            {
+                "id": sid,
+                "op": "preplace",
+                "parent": m["current"],
+                "col": col,
+                "values": sorted(int(v) for v in values),
+            }
+        )
+        m["current"] = sid
+        self._store(m)
+        return sid
+
     def set_current(self, snapshot_id: int) -> None:
         """Rollback/forward for exact resume (Iceberg rollback_to_snapshot)."""
         m = self._load()
@@ -102,25 +131,54 @@ class SnapshotTable:
 
     # -- reads ----------------------------------------------------------------
 
-    def _chain(self, at: int) -> list[str]:
-        """Parquet dirs composing the table state at snapshot *at*."""
+    def _chain(self, at: int) -> list[dict]:
+        """Layers composing the table state at snapshot *at*, oldest first.
+        Each layer = {"dir", "mask": (col, values) | None}: a layer's rows are
+        visible except where a NEWER partition-replace snapshot re-wrote that
+        partition (the mask — a pushed-down NOT-IN filter, the parquet-shim
+        analog of Iceberg delete-of-replaced-data-files)."""
         snaps = {s["id"]: s for s in self._load()["snapshots"]}
-        dirs: list[str] = []
+        layers: list[dict] = []
+        masked: dict[str, set[int]] = {}  # col -> values replaced by newer layers
         sid = at
         while sid:
             s = snaps[sid]
-            dirs.append(os.path.join(self.dir, f"s{sid:08d}-{s['op']}"))
+            mask = {c: set(v) for c, v in masked.items() if v}
+            layers.append(
+                {"dir": os.path.join(self.dir, f"s{sid:08d}-{s['op']}"), "mask": mask}
+            )
             if s["op"] == "overwrite":
                 break
+            if s["op"] == "preplace":
+                masked.setdefault(s["col"], set()).update(s["values"])
             sid = s["parent"]
-        return list(reversed(dirs))
+        return list(reversed(layers))
+
+    def chain_length(self, at: int | None = None) -> int:
+        """Read fan-in at a snapshot — compaction cadence input."""
+        return len(self._chain(self.current_snapshot() if at is None else at))
 
     def read(self, at: int | None = None) -> DataFrame:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
         at = self.current_snapshot() if at is None else at
-        dirs = self._chain(at)
-        if not dirs:
+        layers = self._chain(at)
+        if not layers:
             return self.spark.createDataFrame([], schema=self.schema)
-        return self.spark.read.schema(self.schema).parquet(*dirs)
+        if all(not layer["mask"] for layer in layers):
+            # pure append chain: one multi-path FileScan (no unions needed)
+            return self.spark.read.schema(self.schema).parquet(
+                *[layer["dir"] for layer in layers]
+            )
+        parts = []
+        for layer in layers:
+            df = self.spark.read.schema(self.schema).parquet(layer["dir"])
+            for col, values in layer["mask"].items():
+                df = df.filter(~F.col(col).isin(*sorted(values)))
+            parts.append(df)
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def read_delta(self, snapshot_id: int) -> DataFrame:
         """Only the rows added by snapshot *snapshot_id* (Iceberg incremental

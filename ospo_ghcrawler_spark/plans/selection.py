@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 from ospo_ghcrawler_spark.config import CrawlConfig
 
 
+def policy_depth_col(policy, cfg: CrawlConfig):
+    """Effective max depth of a request given its traversal policy
+    (reference Request.policy, routes/requests.js:79): the policy's ceiling
+    min'd with the run-wide max_depth; unlisted policies walk to max_depth."""
+    expr = F.lit(cfg.max_depth)
+    for name, d in sorted(cfg.policy_depths.items()):
+        expr = F.when(policy == name, F.least(F.lit(d), F.lit(cfg.max_depth))).otherwise(expr)
+    return expr
+
+
 def allocate_quotas(cfg: CrawlConfig, avail: dict[int, int]) -> dict[int, int]:
     """Deterministic batch split across priorities by pop weight, spilling
     unused quota to priorities that still have eligible rows."""
@@ -67,24 +77,44 @@ def select_batch(
     cfg: CrawlConfig,
     step: int,
     min_host_budget: int | None = None,
-) -> tuple[DataFrame, int]:
-    """(selected batch, its row count) for this superstep (see module
-    docstring) — the count rides along because materialization happens here.
+) -> tuple[DataFrame, int, int | None]:
+    """(selected batch, its row count, max future wake-up step or None).
+
+    Exactly ONE Spark job runs here (the per-priority stats aggregation);
+    the selected row count is derived from quotas vs availability (a
+    ``limit(q)`` picks exactly ``min(q, avail)`` rows), never re-counted,
+    and the batch itself stays lazy — its first consumer (the fetch stage)
+    materializes it into the per-superstep cache.
 
     *min_host_budget* (the smallest effective budget across hosts, computed
     once per run) lets the plan skip the per-host window entirely when the
     budget provably cannot bind (budget ≥ batch size) — the unbounded-budget
-    fast path used by throughput benches.
+    fast path. On that path the same stats job also returns the max future
+    ``not_before_step`` so an empty selection needs NO extra job to decide
+    idle-advance vs termination (max_wake is None on the windowed path —
+    the caller computes it lazily, only when the selection is empty).
     """
-    eligible = frontier.filter(
-        (F.col("not_before_step") <= step) & (F.col("depth") <= cfg.max_depth)
-    )
+    static = frontier.filter(F.col("depth") <= cfg.max_depth)
     if cfg.allowed_hosts is not None:
-        eligible = eligible.filter(F.col("host").isin(*cfg.allowed_hosts))
+        static = static.filter(F.col("host").isin(*cfg.allowed_hosts))
+    eligible = static.filter(F.col("not_before_step") <= step)
 
     budget_unbound = min_host_budget is not None and min_host_budget >= cfg.batch_size
+    max_wake: int | None = None
     if budget_unbound:
         budgeted = eligible.withColumn("_host_rank", F.lit(1))
+        # one job: per-priority eligible counts + the future wake horizon
+        stats = (
+            static.groupBy("priority")
+            .agg(
+                F.count(F.when(F.col("not_before_step") <= step, 1)).alias("cnt"),
+                F.max("not_before_step").alias("wake"),
+            )
+            .collect()
+        )
+        avail = {r["priority"]: r["cnt"] for r in stats if r["cnt"] > 0}
+        wakes = [r["wake"] for r in stats if r["wake"] is not None]
+        max_wake = max(wakes) if wakes else None
     else:
         # per-host politeness rank (many hosts → well-distributed window)
         w_host = Window.partitionBy("host").orderBy(
@@ -96,14 +126,11 @@ def select_batch(
             .withColumn("_host_rank", F.row_number().over(w_host))
             .filter(F.col("_host_rank") <= F.col("host_budget"))
             .drop("host_budget")
-        )
-    budgeted = budgeted.cache()
-
-    # availability per priority (5 small numbers to the driver)
-    avail = {
-        r["priority"]: r["cnt"]
-        for r in budgeted.groupBy("priority").agg(F.count("*").alias("cnt")).collect()
-    }
+        ).cache()
+        avail = {
+            r["priority"]: r["cnt"]
+            for r in budgeted.groupBy("priority").agg(F.count("*").alias("cnt")).collect()
+        }
     quotas = allocate_quotas(cfg, avail)
 
     # per-priority FIFO top-k — TakeOrderedAndProject, no global shuffle;
@@ -120,13 +147,17 @@ def select_batch(
         for p, q in quotas.items()
         if q > 0 and avail.get(p, 0) > 0
     ]
+    n = sum(min(q, avail.get(p, 0)) for p, q in quotas.items() if avail.get(p, 0) > 0)
     if not picks:
         empty = budgeted.filter(F.lit(False)).drop("_host_rank")
-        budgeted.unpersist()
-        return empty.withColumn("fetch_salt", F.lit(0)), 0
+        if not budget_unbound:
+            budgeted.unpersist()
+        return empty.withColumn("fetch_salt", F.lit(0)), 0, max_wake
     selected = reduce(lambda a, b: a.unionByName(b), picks).drop("_host_rank")
 
-    # hot-host salting: spread mega-hosts across all fetch partitions
+    # hot-host salting: spread mega-hosts across all fetch partitions.
+    # A lazy join (no collect): the hot-host dim builds as a broadcast
+    # sub-stage of whichever job first consumes the batch.
     hot = (
         selected.groupBy("host")
         .agg(F.count("*").alias("_n"))
@@ -144,6 +175,10 @@ def select_batch(
         )
         .drop("_hot", "_n")
     ).cache()
-    n = out.count()  # materialize while budgeted is still cached
-    budgeted.unpersist()
-    return out, n
+    if not budget_unbound:
+        # materialize out while the windowed plan is still cached, then
+        # retire the intermediate cache (windowed path only; the unbound
+        # path stays fully lazy — its first consumer materializes it)
+        out.count()
+        budgeted.unpersist()
+    return out, n, max_wake

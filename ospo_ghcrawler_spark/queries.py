@@ -386,6 +386,52 @@ Q_RETRY_ROUTING_SQL = f"""
 """
 
 
+def q_policy_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 F3 — per-request traversal policy: each request carries a
+    policy (reference routes/requests.js:79) whose depth ceiling gates edge
+    expansion. Uses the engine's real policy_depth_col against the default
+    CrawlConfig policy table ({'self': 0, 'shallow': 2}, max_depth 10)."""
+    from ospo_ghcrawler_spark.config import CrawlConfig
+    from ospo_ghcrawler_spark.plans.selection import policy_depth_col
+
+    cfg = CrawlConfig()
+    f = derived_frontier(spark, sf_dir)
+    policy = (
+        F.when(F.col("seq") % 3 == 0, F.lit("self"))
+        .when(F.col("seq") % 3 == 1, F.lit("shallow"))
+        .otherwise(F.lit("default"))
+    )
+    depth = (F.col("seq") % 7).cast("int")
+    out = f.select(
+        "url",
+        policy.alias("policy"),
+        depth.alias("depth"),
+        policy_depth_col(policy, cfg).cast("int").alias("effective_max_depth"),
+    )
+    return out.withColumn(
+        "expand_allowed", (F.col("depth") + 1) <= F.col("effective_max_depth")
+    )
+
+
+Q_POLICY_SCOPE_SQL = f"""
+    WITH f AS ({DERIVED_FRONTIER_SQL}),
+    p AS (
+      SELECT url,
+             CASE WHEN seq % 3 = 0 THEN 'self'
+                  WHEN seq % 3 = 1 THEN 'shallow'
+                  ELSE 'default' END AS policy,
+             CAST(seq % 7 AS INTEGER) AS depth
+      FROM f
+    )
+    SELECT url, policy, depth,
+           CAST(CASE policy WHEN 'self' THEN 0 WHEN 'shallow' THEN 2
+                ELSE 10 END AS INTEGER) AS effective_max_depth,
+           depth + 1 <= (CASE policy WHEN 'self' THEN 0 WHEN 'shallow' THEN 2
+                ELSE 10 END) AS expand_allowed
+    FROM p
+"""
+
+
 def q_urn_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §1.1 — hierarchical URN identity + blob-path rewrite
     (storageDocStore.js:199-215) over derived URLs, via the real
@@ -750,6 +796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": q_url_canonicalize,
     "delta_log_naming": q_delta_log_naming,
     "retry_routing": q_retry_routing,
+    "policy_scope": q_policy_scope,
     "urn_identity": q_urn_identity,
     "doc_lookup": q_doc_lookup,
     # training-data dedup / text
@@ -784,6 +831,7 @@ ORACLES: dict[str, str] = {
     "url_canonicalize": Q_URL_CANONICALIZE_SQL,
     "delta_log_naming": Q_DELTA_LOG_NAMING_SQL,
     "retry_routing": Q_RETRY_ROUTING_SQL,
+    "policy_scope": Q_POLICY_SCOPE_SQL,
     "urn_identity": Q_URN_IDENTITY_SQL,
     "doc_lookup": Q_DOC_LOOKUP_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,

@@ -66,6 +66,11 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("not_before_step", T.IntegerType(), False),
         # FIFO tie-breaker within (priority, enqueue_step)
         T.StructField("seq", T.LongType(), False),
+        # per-request traversal policy (the reference carries `policy` on
+        # every Request, routes/requests.js:79; TraversalPolicy controls walk
+        # scope per seed) — edges inherit the parent's policy and expansion
+        # honors the policy's depth ceiling (CrawlConfig.policy_depths)
+        T.StructField("policy", T.StringType(), False),
     ]
 )
 

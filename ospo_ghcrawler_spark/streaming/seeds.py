@@ -33,6 +33,7 @@ SEED_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
         T.StructField("priority", T.IntegerType(), True),
+        T.StructField("policy", T.StringType(), True),
     ]
 )
 
@@ -53,6 +54,7 @@ def seed_batch_to_frontier_rows(
         )
         .withColumn("attempt", F.lit(0))
         .withColumn("depth", F.lit(0))
+        .withColumn("policy", F.coalesce(F.col("policy"), F.lit("default")))
         .withColumn("enqueue_step", F.lit(step).cast("int"))
         .withColumn("not_before_step", F.lit(step).cast("int"))
         .withColumn(
