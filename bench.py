@@ -51,7 +51,7 @@ WORKDIR_BASE = "/dev/shm" if os.path.isdir("/dev/shm") else None
 BENCH_QUERIES = [
     "frontier_selection", "politeness_window", "token_budget", "seen_antijoin",
     "attenuation", "queue_depth", "deadletter", "host_skew_salt",
-    "url_canonicalize", "delta_log_naming", "retry_routing",
+    "url_canonicalize", "delta_log_naming", "retry_routing", "token_traits",
     "dedup_exact", "minhash_lsh", "token_stats", "quality_score",
     "lang_id", "fingerprint", "embedding_topk", "ann_lsh", "ann_ivf",
     "binary_meta", "media_features",

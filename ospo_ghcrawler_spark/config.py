@@ -116,6 +116,30 @@ class CrawlConfig:
     # long-run read fan-in for frontier and seen
     compact_chain_len: int = 16
 
+    # --- credential pools ---------------------------------------------------
+    # token specs "value#trait1,trait2;value2#..." (tokenFactory.setTokens,
+    # /root/reference/providers/fetcher/tokenFactory.js:18-29). None = fetch
+    # without credentials (token machinery fully bypassed, zero overhead).
+    token_specs: str | None = None
+    # per-token calls per superstep window; analog of the limited token
+    # factory's per-token rate limit (limitedTokenFactory.js:19-42). 0 = no cap
+    token_cap_per_step: int = 0
+    # per-policy desired trait sets, walked in fallback order
+    # (getToken(desiredTraitSets), tokenFactory.js:37-47; e.g. a private-repo
+    # request wants [['private'],['admin']]). Policies not listed desire any
+    # token (the empty trait set)
+    policy_trait_sets: dict[str, tuple[tuple[str, ...], ...]] = field(
+        default_factory=dict
+    )
+
+    # --- live config --------------------------------------------------------
+    # path of a JSON file polled at each superstep boundary; when its mtime
+    # changes, its patches apply to the running config — the reference's
+    # PATCH /config live-reconfiguration (routes/config.js:12-18) at
+    # superstep granularity. File holds either {"field": value} (merge) or
+    # [{"op": "replace", "path": "/field", "value": v}] (JSON-patch ops).
+    live_config_path: str | None = None
+
     # --- misc ---------------------------------------------------------------
     seed: int = 42
     simulate_fetch_failure_every: int = 0  # 0 = never; N = every Nth url_hash fails once
@@ -137,6 +161,9 @@ class CrawlConfig:
     def with_(self, **kw) -> "CrawlConfig":
         return replace(self, **kw)
 
+    def apply_patches(self, patches) -> "CrawlConfig":
+        return apply_config_patches(self, patches)
+
     @property
     def total_weight(self) -> int:
         return sum(self.weights.values())
@@ -145,3 +172,65 @@ class CrawlConfig:
         """Per-superstep row quota for a priority level: batch * w_p / sum(w)."""
         w = self.weights.get(priority, 0)
         return max(1, (self.batch_size * w) // self.total_weight) if w else 0
+
+
+# fields PATCH /config may change mid-run (routes/config.js:12-18 applies
+# patches per subsystem; the batch analogs are the throughput/politeness
+# shaping knobs — structural fields like partitioning and bloom sizing are
+# frozen for a run because committed table layouts depend on them)
+LIVE_PATCHABLE: frozenset[str] = frozenset(
+    {
+        "batch_size", "host_budget", "weights", "spill_quota",
+        "compute_budget_ms", "bench_supersteps", "preallocated_ms",
+        "defer_supersteps", "max_attempts", "retry_priority", "max_depth",
+        "allowed_hosts", "policy_depths", "token_specs", "token_cap_per_step",
+        "policy_trait_sets", "hot_host_fanout_threshold", "fifo_links_threshold",
+    }
+)
+
+
+def _coerce(field_name: str, value):
+    if field_name == "weights" and isinstance(value, dict):
+        return {int(k): int(v) for k, v in value.items()}
+    if field_name == "allowed_hosts" and isinstance(value, list):
+        return tuple(value)
+    if field_name == "policy_trait_sets" and isinstance(value, dict):
+        return {k: tuple(tuple(s) for s in v) for k, v in value.items()}
+    return value
+
+
+def apply_config_patches(cfg: CrawlConfig, patches) -> CrawlConfig:
+    """Apply a live-config document to *cfg* → new config (the reference's
+    PATCH /config handler semantics, routes/config.js:12-18: patches are
+    grouped and applied to the live options; here the immutable-dataclass
+    analog returns the patched copy the engine swaps in between supersteps).
+
+    *patches* is either a merge-object ``{"field": value}`` or a list of
+    JSON-patch ops ``[{"op": "replace"|"add"|"remove", "path": "/field",
+    "value": v}]``. Unknown / non-live-patchable fields raise ``KeyError``
+    (the reference 500s on an unknown subsystem the same way)."""
+    from dataclasses import MISSING
+    from dataclasses import fields as dc_fields
+
+    defaults = {f.name: f for f in dc_fields(CrawlConfig)}
+    if isinstance(patches, dict):
+        items = list(patches.items())
+    else:
+        items = []
+        for op in patches:
+            name = op["path"].lstrip("/")
+            if op["op"] in ("replace", "add"):
+                items.append((name, op["value"]))
+            elif op["op"] == "remove":  # remove = reset to the field default
+                f = defaults[name]
+                items.append(
+                    (name, f.default if f.default is not MISSING else f.default_factory())
+                )
+            else:
+                raise KeyError(f"unsupported config patch op {op['op']!r}")
+    kw = {}
+    for name, value in items:
+        if name not in LIVE_PATCHABLE:
+            raise KeyError(f"config field {name!r} is not live-patchable")
+        kw[name] = _coerce(name, value)
+    return cfg.with_(**kw)

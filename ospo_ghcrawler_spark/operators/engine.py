@@ -42,6 +42,12 @@ from ospo_ghcrawler_spark.operators.politeness import (
     effective_host_budget,
     robots_allowed_filter,
 )
+from ospo_ghcrawler_spark.operators.tokens import (
+    apply_token_caps,
+    assign_tokens,
+    split_fetchable,
+    tokens_df,
+)
 from ospo_ghcrawler_spark.plans.catalog import Catalog
 from ospo_ghcrawler_spark.plans.selection import policy_depth_col, select_batch
 from ospo_ghcrawler_spark.schemas import EXTRACT_SCHEMA, FRONTIER_SCHEMA
@@ -79,6 +85,14 @@ class Crawler:
             else None
         )
         self.step = 0
+        # credential pools (R3): the token dim is tiny — always broadcastable;
+        # None (the default) bypasses the token machinery entirely
+        self.tokens_dim = (
+            tokens_df(spark, self.cfg.token_specs, self.cfg.token_cap_per_step)
+            if self.cfg.token_specs
+            else None
+        )
+        self._live_cfg_mtime: float | None = None
         self._bloom_bc = None  # per-superstep broadcast of the bloom bitmaps
         # superstep pipelining state: one background commit in flight at most
         self._commit_pool = ThreadPoolExecutor(max_workers=1)
@@ -101,6 +115,79 @@ class Crawler:
                 self._pending.result()
             finally:
                 self._pending = None
+
+    # ------------------------------------------------------- live config (C6)
+
+    def _maybe_reload_config(self) -> None:
+        """Superstep-boundary live config reload — the reference's
+        PATCH /config (routes/config.js:12-18) at superstep granularity: when
+        the watched JSON file's mtime changes, its patches apply to the
+        running config before the next selection. Derived state that depends
+        on patched fields (host-budget dim, token dim) is rebuilt."""
+        path = self.cfg.live_config_path
+        if not path or not os.path.exists(path):
+            return
+        mtime = os.path.getmtime(path)
+        if mtime == self._live_cfg_mtime:
+            return
+        self._live_cfg_mtime = mtime
+        import json
+
+        with open(path) as f:
+            patches = json.load(f)
+        old = self.cfg
+        self.cfg = old.apply_patches(patches)
+        if old.host_budget != self.cfg.host_budget:
+            self.host_budgets.unpersist()
+            self.host_budgets = effective_host_budget(self.robots, self.cfg).cache()
+            row = self.host_budgets.agg(F.min("host_budget").alias("m")).collect()
+            self._min_budget = min(
+                row[0]["m"] if row and row[0]["m"] is not None else self.cfg.host_budget,
+                self.cfg.host_budget,
+            )
+        if (
+            old.token_specs != self.cfg.token_specs
+            or old.token_cap_per_step != self.cfg.token_cap_per_step
+        ):
+            # POST /config/tokens — swap the credential pool live
+            # (routes/config.js:30-34 setTokens)
+            self.tokens_dim = (
+                tokens_df(self.spark, self.cfg.token_specs, self.cfg.token_cap_per_step)
+                if self.cfg.token_specs
+                else None
+            )
+
+    # ------------------------------------------------------ token pools (R3)
+
+    def exhaust_token(self, value: str, until_step: int) -> None:
+        """Bench a credential until a restore superstep (tokenFactory.exhaust,
+        tokenFactory.js:74-86) — e.g. on an upstream 403. The bench persists
+        in the token dim; requests whose pools are fully benched defer to the
+        soonest restore."""
+        if self.tokens_dim is None:
+            raise ValueError("no token pools configured (cfg.token_specs)")
+        from ospo_ghcrawler_spark.operators.tokens import exhaust_tokens
+
+        # token dim is O(credentials): collect+rebuild keeps it a local plan,
+        # not an ever-growing lazy lineage chain
+        updated = exhaust_tokens(self.tokens_dim, [value], until_step)
+        rows = updated.collect()
+        self.tokens_dim = self.spark.createDataFrame(rows, updated.schema)
+
+    def _desired_traits_col(self):
+        """Per-row desired trait sets from the request's policy
+        (cfg.policy_trait_sets; the reference attaches desired trait sets per
+        request context, e.g. private repos want the 'private' pool)."""
+        empty = F.array().cast("array<array<string>>")
+        expr = empty
+        for name, sets in sorted(self.cfg.policy_trait_sets.items()):
+            arr = (
+                F.array(*[F.array(*[F.lit(t) for t in s]) for s in sets])
+                if sets
+                else empty
+            )
+            expr = F.when(F.col("policy") == name, arr).otherwise(expr)
+        return expr
 
     # ------------------------------------------------------------------ seed
 
@@ -166,6 +253,7 @@ class Crawler:
         fetch §2.4 F1, extract §2.4 F2, dedup §2.2 D1-D3, commit §2.1 Q3 +
         §2.5 S1/S6 of SURVEY.md.
         """
+        self._maybe_reload_config()
         cfg, step = self.cfg, self.step
         debug_timing = os.environ.get("SPARK_CRAWL_DEBUG_TIMING")
         _t0 = time.time()
@@ -222,6 +310,43 @@ class Crawler:
                 self.step = step + 1
                 return {"selected": 0, "new_edges": 0, "bounced": 0, "idle": True}
             return {}
+
+        # ---- credential pools (R3): trait-matched token assignment ----------
+        # sel_all = the full selection (leaves the frontier); `selected`
+        # narrows to the token-granted rows when pools are configured —
+        # pool-benched rows defer to their wake step, pool-less rows
+        # dead-letter (the reference's null-token hard miss)
+        sel_all = selected
+        tok_defer = tok_dead = None
+        if self.tokens_dim is not None:
+            assigned = assign_tokens(
+                sel_all.withColumn("desired_traits", self._desired_traits_col()),
+                self.tokens_dim,
+                step,
+            )
+            if cfg.token_cap_per_step:
+                assigned = apply_token_caps(assigned, self.tokens_dim, step)
+            assigned = assigned.drop("desired_traits").cache()
+            fetchable, deferred = split_fetchable(assigned)
+            tok_defer = (
+                deferred.filter(F.col("token_wake").isNotNull())
+                .withColumn(
+                    "not_before_step",
+                    F.greatest(F.col("token_wake").cast("int"), F.lit(step + 1)),
+                )
+                .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            )
+            tok_dead = deferred.filter(F.col("token_wake").isNull()).select(
+                "url",
+                "url_hash",
+                "host",
+                F.lit("no_matching_token").alias("error"),
+                F.col("attempt").cast("int").alias("attempt"),
+                F.col("enqueue_step").alias("first_seen_step"),
+                F.lit(step).cast("int").alias("last_error_step"),
+            )
+            selected = fetchable.drop("token", "token_wake")
+            n_selected = selected.count()
 
         # fetch + fused text/link extraction. The fetcher owns its input
         # distribution: the simulated fetcher streams the corpus scan in
@@ -353,6 +478,8 @@ class Crawler:
                 F.lit(step).cast("int").alias("last_error_step"),
             )
         )
+        if tok_dead is not None:
+            dead = tok_dead if dead is None else dead.unionByName(tok_dead)
 
         # ---- settled + metrics ----------------------------------------------
         settled = log.filter(F.col("status") < 500)  # 200 & 404 leave the frontier
@@ -382,12 +509,16 @@ class Crawler:
         )
 
         # ---- next frontier ----------------------------------------------------
-        # the selected-keys anti-join broadcasts (batch-bounded, scale-safe)
-        sel_keys = F.broadcast(selected.select("url_hash"))
+        # the selected-keys anti-join broadcasts (batch-bounded, scale-safe);
+        # removal covers the FULL selection — token-deferred rows re-enter
+        # below with their wake step
+        sel_keys = F.broadcast(sel_all.select("url_hash"))
         remaining = frontier.join(sel_keys, "url_hash", "left_anti")
         next_frontier = remaining.unionByName(new_rows)
         if retry is not None:
             next_frontier = next_frontier.unionByName(retry)
+        if tok_defer is not None:
+            next_frontier = next_frontier.unionByName(tok_defer)
         next_frontier = next_frontier.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
         # ---- commit -----------------------------------------------------------
@@ -404,7 +535,9 @@ class Crawler:
         }
         metrics_all = metrics.unionByName(run_row)
         self._last_metrics = metrics  # parquet-rooted plan for next benches
-        retire = [df for df in (frontier, selected, new_rows) if df is not None]
+        retire = [frontier, sel_all, new_rows]
+        if self.tokens_dim is not None:
+            retire.append(assigned)
 
         # incremental commit: only host_salt partitions holding selected /
         # new / retried rows changed this superstep; untouched partitions'
@@ -412,7 +545,7 @@ class Crawler:
         # whole 10^10-row frontier). Touched-set discovery reads only cached
         # slim columns. Full overwrite when everything was touched, or every
         # compact_chain_len layers to bound read fan-in.
-        touched_src = selected.select("host_salt").unionByName(new_rows.select("host_salt"))
+        touched_src = sel_all.select("host_salt").unionByName(new_rows.select("host_salt"))
         if retry is not None:
             touched_src = touched_src.unionByName(retry.select("host_salt"))
         if cfg.incremental_frontier:

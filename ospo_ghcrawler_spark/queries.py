@@ -432,6 +432,101 @@ Q_POLICY_SCOPE_SQL = f"""
 """
 
 
+def q_token_traits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 R3 — trait-matched credential pools (tokenFactory.getToken,
+    /root/reference/providers/fetcher/tokenFactory.js:37-67): walk each
+    request's desired trait sets in order; the FIRST set with any matching
+    token (traits ⊇ desired) wins — unbenched tokens round-robin by request
+    key; an all-benched pool yields its soonest restore (and STOPS the walk);
+    no matching set at all yields null. Runs the engine's real assign_tokens
+    over token/request dims derived from supplier/customer."""
+    from ospo_ghcrawler_spark.operators.tokens import assign_tokens
+
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 12)
+    toks = s.select(
+        F.concat(F.lit("t"), F.col("s_suppkey").cast("string")).alias("value"),
+        F.when(
+            F.col("s_suppkey") == 1,
+            F.array(F.lit("public"), F.lit("admin"), F.lit("vip")),
+        )
+        .when(F.col("s_suppkey") % 3 == 0, F.array(F.lit("public")))
+        .when(F.col("s_suppkey") % 3 == 1, F.array(F.lit("public"), F.lit("admin")))
+        .otherwise(F.array(F.lit("private")))
+        .alias("traits"),
+        F.when(F.col("s_suppkey") % 4 == 1, F.lit(5)).cast("int").alias("bench_until"),
+        F.lit(None).cast("int").alias("cap_per_step"),
+    )
+    c = _t(spark, sf_dir, "customer")
+    m = F.col("c_custkey") % 4
+
+    def _sets(*names: str):
+        return F.array(*[F.array(F.lit(n)) for n in names])
+
+    desired = (
+        F.when(m == 0, _sets("public"))
+        .when(m == 1, _sets("admin"))
+        .when(m == 2, _sets("private", "public"))
+        .otherwise(_sets("vip", "admin"))  # vip pool = {t1}, benched → wake 5
+    )
+    reqs = c.select(
+        F.col("c_custkey").alias("url_hash"), desired.alias("desired_traits")
+    )
+    out = assign_tokens(reqs, toks, step=3)
+    return out.select(F.col("url_hash").alias("req_id"), "token", "token_wake")
+
+
+Q_TOKEN_TRAITS_SQL = """
+    WITH toks AS (
+      SELECT 't' || s_suppkey AS value,
+             CASE WHEN s_suppkey = 1 THEN ['public','admin','vip']
+                  WHEN s_suppkey % 3 = 0 THEN ['public']
+                  WHEN s_suppkey % 3 = 1 THEN ['public','admin']
+                  ELSE ['private'] END AS traits,
+             CASE WHEN s_suppkey % 4 = 1 THEN 5 END AS bench_until
+      FROM supplier WHERE s_suppkey <= 12
+    ),
+    want AS (
+      SELECT c_custkey AS req_id, 0 AS rnk,
+             CASE WHEN c_custkey % 4 = 0 THEN ['public']
+                  WHEN c_custkey % 4 = 1 THEN ['admin']
+                  WHEN c_custkey % 4 = 2 THEN ['private']
+                  ELSE ['vip'] END AS want
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 1,
+             CASE WHEN c_custkey % 4 = 2 THEN ['public'] ELSE ['admin'] END
+      FROM customer WHERE c_custkey % 4 IN (2, 3)
+    ),
+    matched AS (
+      SELECT w.req_id, w.rnk, t.value, t.bench_until
+      FROM want w JOIN toks t
+        ON len(list_filter(w.want, x -> NOT list_contains(t.traits, x))) = 0
+    ),
+    pools AS (
+      SELECT req_id, rnk,
+             list_sort(coalesce(
+               list(value) FILTER (WHERE coalesce(bench_until, -1) <= 3), []
+             )) AS cands,
+             min(bench_until) FILTER (WHERE bench_until > 3) AS min_bench
+      FROM matched GROUP BY 1, 2
+    ),
+    first_pool AS (
+      SELECT req_id, cands, min_bench,
+             row_number() OVER (PARTITION BY req_id ORDER BY rnk) AS rn
+      FROM pools
+    ),
+    assigned AS (
+      SELECT req_id,
+             CASE WHEN len(cands) > 0
+                  THEN cands[CAST(req_id % len(cands) AS INT) + 1] END AS token,
+             CASE WHEN len(cands) = 0 THEN min_bench END AS token_wake
+      FROM first_pool WHERE rn = 1
+    )
+    SELECT c.c_custkey AS req_id, a.token, a.token_wake
+    FROM customer c LEFT JOIN assigned a ON a.req_id = c.c_custkey
+"""
+
+
 def q_urn_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §1.1 — hierarchical URN identity + blob-path rewrite
     (storageDocStore.js:199-215) over derived URLs, via the real
@@ -797,6 +892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_log_naming": q_delta_log_naming,
     "retry_routing": q_retry_routing,
     "policy_scope": q_policy_scope,
+    "token_traits": q_token_traits,
     "urn_identity": q_urn_identity,
     "doc_lookup": q_doc_lookup,
     # training-data dedup / text
@@ -832,6 +928,7 @@ ORACLES: dict[str, str] = {
     "delta_log_naming": Q_DELTA_LOG_NAMING_SQL,
     "retry_routing": Q_RETRY_ROUTING_SQL,
     "policy_scope": Q_POLICY_SCOPE_SQL,
+    "token_traits": Q_TOKEN_TRAITS_SQL,
     "urn_identity": Q_URN_IDENTITY_SQL,
     "doc_lookup": Q_DOC_LOOKUP_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,

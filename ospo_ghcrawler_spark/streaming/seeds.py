@@ -34,8 +34,49 @@ SEED_SCHEMA = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("priority", T.IntegerType(), True),
         T.StructField("policy", T.StringType(), True),
+        # hex HMAC-SHA1 of the url under the webhook secret (the reference's
+        # X-Hub-Signature, routes/webhook.js:19-29); optional payload blob
+        T.StructField("signature", T.StringType(), True),
+        T.StructField("payload", T.StringType(), True),
     ]
 )
+
+# the reference's queuing messageSize cap (lib/crawlerFactory.js:81: 240 KB)
+MAX_MESSAGE_KB = 240
+
+
+def hmac_sha1_col(key: bytes, msg_col) -> F.Column:
+    """HMAC-SHA1 as a pure JVM expression (no Python in the stream path):
+    ``sha1(okey ‖ unhex(sha1(ikey ‖ msg)))`` with the standard 64-byte
+    ipad/opad key blocks folded in as binary literals."""
+    if len(key) > 64:
+        import hashlib
+
+        key = hashlib.sha1(key).digest()
+    key = key.ljust(64, b"\x00")
+    ikey = bytes(b ^ 0x36 for b in key)
+    okey = bytes(b ^ 0x5C for b in key)
+    inner = F.sha1(F.concat(F.lit(ikey), F.encode(msg_col, "UTF-8")))
+    return F.sha1(F.concat(F.lit(okey), F.unhex(inner)))
+
+
+def verify_webhook_batch(
+    batch: DataFrame, secret: bytes | None, max_message_kb: int = MAX_MESSAGE_KB
+) -> DataFrame:
+    """Webhook authenticity + size gate (C3): with a secret configured, rows
+    whose ``signature`` does not equal the url's HMAC-SHA1 are dropped — the
+    reference 400s on X-Hub-Signature mismatch (routes/webhook.js:26-29,
+    timing-safe compare; a batch filter has no early-exit timing channel).
+    Oversized payloads are dropped per the queuing messageSize cap."""
+    out = batch
+    if secret is not None:
+        out = out.filter(
+            F.col("signature").isNotNull()
+            & (F.lower("signature") == hmac_sha1_col(secret, F.col("url")))
+        )
+    return out.filter(
+        F.coalesce(F.octet_length("payload"), F.lit(0)) <= max_message_kb * 1024
+    )
 
 
 def seed_batch_to_frontier_rows(
@@ -75,11 +116,16 @@ def start_seed_stream(
     checkpoint_dir: str,
     partitions: int = 32,
     step_provider=lambda: 0,
+    hmac_secret: bytes | None = None,
+    max_message_kb: int = MAX_MESSAGE_KB,
 ):
     """Watch *seeds_dir* for JSON-lines seed files; every micro-batch lands as
-    one deduped frontier snapshot append. Returns the StreamingQuery."""
+    one deduped frontier snapshot append. Returns the StreamingQuery.
+    With *hmac_secret*, each row must carry a valid HMAC-SHA1 ``signature``
+    (the reference's webhook authenticity check)."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        batch = verify_webhook_batch(batch, hmac_secret, max_message_kb)
         rows = seed_batch_to_frontier_rows(batch, step_provider(), partitions, batch_id)
         rows = attenuate(rows)
         rows = robots_allowed_filter(rows, robots)
