@@ -37,7 +37,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_HOSTS = 200
 LINKS = 25
-SENTENCES = 60  # ~9.5 KB html/page — realistic Common-Crawl-ish weight
+SENTENCES = 80  # ~12.5 KB html/page — realistic Common-Crawl-ish weight
 SEED_FRACTION = 4  # seeds = n_pages // SEED_FRACTION → 2 supersteps + drain
 MAX_PAGES = 400_000  # cap so the 2-core leg stays under the bench budget
 # N → 4N parallelism pair: both legs must fit the 32-core host WITH their

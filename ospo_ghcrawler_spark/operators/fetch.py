@@ -104,7 +104,16 @@ def simulated_fetch(selected: DataFrame, corpus: DataFrame, cfg: CrawlConfig) ->
 
     @pandas_udf("boolean")
     def _in_corpus(urls: pd.Series) -> pd.Series:
-        return urls.isin(bc.value)
+        # probe the broadcast set per element — O(batch) per batch. (A
+        # Series.isin(set) here would rebuild a hashtable of the WHOLE
+        # 400k-url set for every 1k-row Arrow batch: O(|corpus|) per batch.)
+        s = bc.value
+        import numpy as np
+
+        return pd.Series(
+            np.fromiter((u in s for u in urls.to_numpy()), dtype=bool, count=len(urls)),
+            index=urls.index,
+        )
 
     misses = (
         selected.filter(~_in_corpus(F.col("url")))

@@ -68,6 +68,13 @@ def get_spark(
         # small Arrow batches: html rows are ~5-10 KB, and >10 MB batches
         # thrash the page allocator (73% sys-time measured at 10k rows/batch)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # heavy per-row Arrow/Python stages (fetch+extract) need enough input
+        # splits to keep every core in steady-state waves: 128 MB splits of a
+        # ~10 KB/row corpus quantize a 400k-page scan into <3 tasks/core and
+        # the last wave idles most slots (measured: extract stage 76s→36s at
+        # 8 cores going 128→24 MB splits, 2-core leg unchanged). 32 MB keeps
+        # ~4 waves/core at bench scale; real clusters tune per table size.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
