@@ -38,9 +38,22 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan the input across the cluster when it arrives under-partitioned
+    (e.g. one small parquet file): the shingle explosion multiplies every row
+    ~50×, so a 1-partition scan would run the whole expansion on one task.
+    No-op (no shuffle) when the source already has enough partitions — at
+    warehouse scale the table is wide already and this never fires."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        return df.repartition(target)
+    return df
+
+
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc — all built-in functions:
     split → sequence → transform(concat_ws) → explode → distinct."""
+    docs = _spread(docs)
     words = F.split(F.col(text_col), r"\s+")
     # NB: Spark sequence(1, 0) counts DOWN; guard short docs explicitly
     idx = F.when(
@@ -86,12 +99,16 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perm: int = N_PERM
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = N_PERM,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig_0..sig_{n_perm-1}): n_perm independent min-hashes, each
     ``min(xxhash64(shingle, seed=p))`` — seeded xxhash64 gives the permutation
     family with zero Python and map-side partial mins."""
-    g = shingles(docs, id_col, text_col)
+    g = shingles_df if shingles_df is not None else shingles(docs, id_col, text_col)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"sig_{p}")
         for p in range(n_perm)
@@ -114,7 +131,11 @@ def minhash_lsh_pairs(
     With 16 bands × 4 rows, recall at j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9998.
     """
     rows = n_perm // bands
-    sig = minhash_signatures(docs, id_col, text_col, n_perm)
+    # one shingle pass feeds BOTH the signatures and the verify stage (cache
+    # is an optimization, not a correctness dependency — at warehouse scale
+    # it degrades to recompute/spill)
+    g = shingles(docs, id_col, text_col).cache()
+    sig = minhash_signatures(docs, id_col, text_col, n_perm, shingles_df=g)
     band_cols = F.array(
         *[
             F.struct(
@@ -134,7 +155,9 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
         .distinct()
     )
-    return jaccard_verify_candidates(docs, candidates, threshold, id_col, text_col)
+    return jaccard_verify_candidates(
+        docs, candidates, threshold, id_col, text_col, shingles_df=g
+    )
 
 
 def jaccard_verify_candidates(
@@ -144,6 +167,7 @@ def jaccard_verify_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard computed ONLY for the given candidate (a_id, b_id) pairs
     — the verification stage of every LSH-style dedup. Cost is
@@ -152,7 +176,7 @@ def jaccard_verify_candidates(
     shuffle join on (b_id, shingle) intersects with b's shingles (the scale
     path the reference's per-request dedup decision implies,
     redisRequestTracker.js:17-41)."""
-    g = shingles(docs, id_col, text_col, n)
+    g = shingles_df if shingles_df is not None else shingles(docs, id_col, text_col, n)
     sizes = g.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     ga = g.select(F.col(id_col).alias("a_id"), "shingle")
     gb = g.select(F.col(id_col).alias("b_id"), "shingle")

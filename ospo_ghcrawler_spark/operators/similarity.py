@@ -169,6 +169,73 @@ def lsh_topk(
     )
 
 
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int,
+    n_tables: int = 8,
+    n_bits: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS, the scale path: sign-LSH bucket
+    self-join for candidates, exact cosine verify on candidates only — never
+    the full O(N²) cartesian (that stays available as the small-SF oracle,
+    ``queries.q_embedding_neardup``).
+
+    Candidates = id pairs sharing any table's bucket, widened by 1-bit
+    multiprobe on the lower-id side (collision probability for a cos≈0.4 pair
+    rises ~0.41 → ~0.93 at 8×6-bit tables). The self-join shuffles by
+    ``(table, sig)`` — bucket sizes are ~N/2^bits on balanced data; buckets
+    above *max_bucket* are dropped (documented best-effort, the standard LSH
+    skew guard — a bucket that big means the band carries no information).
+    Output: (a_id, b_id, cos) with a_id < b_id and cos ≥ threshold.
+    """
+    sig_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("sig", T.LongType()),
+        ]
+    )
+    base = vectors.select(F.col(id_col), F.col(vec_col))
+    sigs = base.mapInPandas(
+        _sign_signature_udf(id_col, vec_col, dim, n_tables, n_bits, seed),
+        schema=sig_schema,
+    ).cache()
+    sizes = sigs.groupBy("table", "sig").agg(F.count("*").alias("_n"))
+    ok = sizes.filter(F.col("_n") <= max_bucket).select("table", "sig")
+    kept = sigs.join(F.broadcast(ok), ["table", "sig"])
+    probes = F.array(
+        F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    )
+    a_side = kept.select(
+        F.col(id_col).alias("a_id"), "table", F.explode(probes).alias("probe")
+    )
+    b_side = kept.select(F.col(id_col).alias("b_id"), "table", F.col("sig").alias("b_sig"))
+    cand = (
+        a_side.join(
+            b_side,
+            (a_side["table"] == b_side["table"])
+            & (a_side["probe"] == b_side["b_sig"])
+            & (a_side["a_id"] < b_side["b_id"]),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a_vec = vectors.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b_vec = vectors.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    return (
+        cand.join(a_vec, "a_id")
+        .join(b_vec, "b_id")
+        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF
 # ---------------------------------------------------------------------------

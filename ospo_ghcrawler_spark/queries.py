@@ -764,8 +764,21 @@ Q_EMBEDDING_TOPK_SQL = f"""
 """
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, the SCALE path: sign-LSH bucket self-join →
+    exact cosine verify on candidates only (similarity.lsh_neardup_pairs).
+    Driver check is rows-only (LSH recall < 1 by design);
+    tests/test_similarity.py pins recall ≥ 0.9 against the exact cartesian
+    oracle below at sf0.01."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.lsh_neardup_pairs(emb, threshold=0.4, dim=64)
+    return out.select("a_id", "b_id", F.round("cos", 9).alias("cos9"))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs over the full table."""
+    """Embedding-cosine near-duplicate pairs over the full table — the exact
+    all-pairs ORACLE, quadratic by design (small-SF correctness anchor; the
+    first-class operator is q_embedding_neardup_lsh above)."""
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
     b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
@@ -907,6 +920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_exhaustive": q_ann_ivf_exhaustive,

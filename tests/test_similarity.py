@@ -51,3 +51,27 @@ def test_brute_topk_deterministic(emb):
     a = brute_topk(emb, queries, K).collect()
     b = brute_topk(emb.repartition(13), queries, K).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_neardup_pairs_recall_and_precision(spark, emb):
+    """The scalable near-dup path must (a) find ≥90% of the exact cos≥0.4
+    pairs, (b) report only true pairs (exact verify ⇒ precision 1.0), and
+    (c) never enumerate the cartesian (candidate set < N²/2)."""
+    from ospo_ghcrawler_spark.operators.similarity import cosine, lsh_neardup_pairs
+
+    t = 0.4
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    exact_pairs = {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("cos") >= t)
+        .collect()
+    }
+    got_rows = lsh_neardup_pairs(emb, threshold=t, dim=64).collect()
+    got = {(r["a_id"], r["b_id"]) for r in got_rows}
+    assert got <= exact_pairs  # exact verify: no false positives
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"neardup LSH recall too low: {recall}"
