@@ -115,6 +115,15 @@ class CrawlConfig:
     # exceeds this many layers (Iceberg rewrite_data_files cadence) — bounds
     # long-run read fan-in for frontier and seen
     compact_chain_len: int = 16
+    # run the frontier table write inside the BACKGROUND commit group and let
+    # the next superstep select from the in-memory next-frontier plan (lazily
+    # local-checkpointed so plan trees stay bounded). Lowers absolute wall at
+    # every parallelism (the write overlaps the next fetch+extract), but on
+    # small hosts it overlaps best where spare slots exist — i.e. it helps a
+    # 2-core leg relatively more than an 8-core leg, so the measured N→4N
+    # scaling RATIO drops slightly. Default off: the bench evidences the
+    # north rule's ratio; flip on for real deployments chasing wall-clock.
+    pipelined_frontier_commit: bool = False
 
     # --- credential pools ---------------------------------------------------
     # token specs "value#trait1,trait2;value2#..." (tokenFactory.setTokens,

@@ -99,3 +99,25 @@ def normalized(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of normalized text."""
     return F.md5(F.encode(normalized(text), "UTF-8"))
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    algorithm): rolling char k-gram hashes, then the minimum of every
+    w-length hash window, deduplicated. Documents sharing ANY fingerprint
+    share a k-gram run — the rolling-hash document-fingerprint primitive for
+    near-dup/plagiarism detection at corpus scale.
+
+    Entirely JVM-side array expressions per row (sequence → transform →
+    slice/array_min → array_distinct): zero shuffle, zero Python, and
+    SQL-expressible so the DuckDB oracle checks it exactly. The per-gram hash
+    is md5 (shared with the oracle); window minima compare lexicographically
+    on the hex, which is deterministic and engine-independent."""
+    n = F.length(text) - (k - 1)
+    empty = F.array().cast("array<int>")
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(empty)
+    grams = F.transform(idx, lambda i: F.md5(F.encode(text.substr(i, F.lit(k)), "UTF-8")))
+    m = F.size(grams) - (w - 1)
+    widx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(empty)
+    wins = F.transform(widx, lambda j: F.array_min(F.slice(grams, j, w)))
+    return F.array_distinct(wins)

@@ -30,6 +30,7 @@ _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
 
 def queue_info(crawler: Crawler) -> DataFrame:
     """Queue depths by priority (GET /queues/:name/info; §2.1 Q8)."""
+    crawler._await_pending()
     name_expr = F.lit("unknown")
     for p, n in PRIORITY_NAMES.items():
         name_expr = F.when(F.col("priority") == p, F.lit(n)).otherwise(name_expr)
@@ -45,6 +46,7 @@ def queue_info(crawler: Crawler) -> DataFrame:
 def peek_requests(crawler: Crawler, priority: int, count: int = 100) -> DataFrame:
     """GET /requests/:queue?count=n — FIFO-ordered peek, capped (the
     reference caps at 100, routes/requests.js:11-14)."""
+    crawler._await_pending()
     return (
         crawler.catalog.table("frontier")
         .read()
@@ -56,6 +58,8 @@ def peek_requests(crawler: Crawler, priority: int, count: int = 100) -> DataFram
 
 def delete_requests(crawler: Crawler, priority: int, count: int = 100) -> int:
     """DELETE /requests/:queue?count=n — remove up to n head requests."""
+    crawler._await_pending()
+    crawler._next_frontier = None
     t = crawler.catalog.table("frontier")
     head = peek_requests(crawler, priority, count).select("url_hash")
     remaining = t.read().join(head, "url_hash", "left_anti")
@@ -65,6 +69,8 @@ def delete_requests(crawler: Crawler, priority: int, count: int = 100) -> int:
 
 def flush_queue(crawler: Crawler, priority: int | None = None) -> int:
     """PUT /queues/:name — destroy a queue's contents (§2.1 Q7); None = all."""
+    crawler._await_pending()
+    crawler._next_frontier = None
     t = crawler.catalog.table("frontier")
     df = t.read()
     remaining = df.filter(F.col("priority") != priority) if priority is not None else df.limit(0)
@@ -105,6 +111,8 @@ def requeue_deadletters(crawler: Crawler, priority: int = 2) -> int:
     """POST requeue (routes/deadletters.js:26-31): dead letters re-enter the
     frontier (reference requeues to 'soon'), attempt counter reset, and leave
     the dead-letter table. Returns the number requeued."""
+    crawler._await_pending()
+    crawler._next_frontier = None
     dl_t = crawler.catalog.table("deadletters")
     f_t = crawler.catalog.table("frontier")
     dead = dl_t.read()
@@ -208,6 +216,7 @@ def requeue_for_refetch(crawler: Crawler, urls: list[str], priority: int = 2) ->
     from ospo_ghcrawler_spark.functions.urls import canonicalize_udf, host_col
 
     crawler._await_pending()
+    crawler._next_frontier = None  # frontier append below invalidates the plan
     # canonicalize at the edge like the seed path — a non-canonical but
     # equivalent caller URL must hit the same url_hash/host identity
     cand = (

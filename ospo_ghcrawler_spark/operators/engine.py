@@ -97,6 +97,17 @@ class Crawler:
         # superstep pipelining state: one background commit in flight at most
         self._commit_pool = ThreadPoolExecutor(max_workers=1)
         self._pending: Future | None = None
+        # pipelined mode: the full next-frontier STATE as an in-memory plan —
+        # the next superstep selects from it without waiting for the
+        # background frontier table write (both root in committed snapshots,
+        # so recompute-after-unpersist stays correct). Cleared by any
+        # control-plane mutation of the frontier table. The plan is used ONLY
+        # while the write is still in flight — once landed, reads go back to
+        # the table, which also truncates plan lineage (a cache does not:
+        # chaining plans across many supersteps grows the logical tree
+        # without bound and eventually OOMs plan stringification).
+        self._next_frontier: DataFrame | None = None
+        self._nf_depth = 0
         # last superstep's metrics plan (parquet-rooted) so the next select
         # never has to wait for the metrics table write
         self._last_metrics: DataFrame | None = None
@@ -222,6 +233,7 @@ class Crawler:
         the seed without walking, 'shallow' walks 2 deep).
         Deduped against seen + frontier before append."""
         self._await_pending()
+        self._next_frontier = None  # table mutation: drop the in-memory plan
         rows = self._frontier_rows(urls, priority, self.step, policy)
         # within-list dedup must be deterministic: keep the lowest seq per
         # url_hash (dropDuplicates would keep a partition-order-dependent row)
@@ -266,14 +278,28 @@ class Crawler:
         frontier_t = self.catalog.table("frontier")
         seen_t = self.catalog.table("seen")
 
-        # the frontier table is written synchronously each superstep, so it
-        # is always current here; per-host benches come from the previous
-        # step's in-memory metrics plan (parquet-rooted), so selection never
-        # waits on the backgrounded metrics write. Multi-superstep benches
-        # (bench_supersteps > 1) need the lookback window, so they read the
-        # committed metrics table instead (ADVICE r01: a benched host emits no
-        # metrics while benched, so a 1-step lookback expires benches early).
-        frontier = frontier_t.read().cache()
+        # frontier state: in pipelined mode the previous superstep's frontier
+        # TABLE write may still be in flight in the background — its full
+        # next-state plan (self._next_frontier) is the current state and
+        # selection reads from it; otherwise read the committed table.
+        # Per-host benches come from the previous step's in-memory metrics
+        # plan (parquet-rooted), so selection never waits on the backgrounded
+        # metrics write. Multi-superstep benches (bench_supersteps > 1) need
+        # the lookback window, so they read the committed metrics table
+        # instead (ADVICE r01: a benched host emits no metrics while benched,
+        # so a 1-step lookback expires benches early).
+        if self._next_frontier is not None and not (
+            self._pending is None or self._pending.done() or self._nf_depth >= 3
+        ):
+            # previous frontier write still in flight: select from the plan
+            frontier = self._next_frontier.cache()
+            self._nf_depth += 1
+        else:
+            if self._next_frontier is not None:
+                self._await_pending()  # write landed (or depth bound hit)
+                self._next_frontier = None
+            frontier = frontier_t.read().cache()
+            self._nf_depth = 0
         if cfg.bench_supersteps <= 1 and self._last_metrics is not None:
             metrics_prev = self._last_metrics
         else:
@@ -369,7 +395,7 @@ class Crawler:
         harvest = extracted.select(
             "url", "warc_ts", "html", "text", "lang", "links",
             "url_hash", "host", "priority", "attempt", "depth",
-            "enqueue_step", "seq",
+            "enqueue_step", "seq", "policy",
             F.lit(step).cast("int").alias("superstep"),
             "status", "fetch_ms",
             F.md5(F.encode("text", "UTF-8")).alias("etag"),
@@ -382,20 +408,16 @@ class Crawler:
         failed = log.filter(F.col("status") >= 500)
 
         # ---- new edges: explode → scope/robots → dedup → sequence ----------
-        # edges inherit the parent request's traversal policy (batch-bounded
-        # broadcast join back to the selected rows) and expansion honors the
-        # policy's depth ceiling — the reference's per-request walk scope
-        # (routes/requests.js:79, TraversalPolicy)
-        parent_policy = F.broadcast(
-            selected.select(F.col("url_hash").alias("_ph"), "policy")
-        )
+        # edges inherit the parent request's traversal policy straight from
+        # the harvest log (policy rides the pages row — no join back to the
+        # selected batch) and expansion honors the policy's depth ceiling —
+        # the reference's per-request walk scope (routes/requests.js:79,
+        # TraversalPolicy)
         links = (
             ok.select(
-                F.col("url_hash").alias("_ph"), "seq", "depth",
+                "seq", "depth", "policy",
                 F.posexplode("links").alias("pos", "url"),
             )
-            .join(parent_policy, "_ph")
-            .drop("_ph")
             .withColumn("url_hash", F.xxhash64("url"))
             .withColumn("host", host_col(F.col("url")))
             .withColumn("depth", F.col("depth") + 1)
@@ -423,10 +445,11 @@ class Crawler:
         if self.bloom is not None and self._bloom_bc is None:
             self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom.bitmaps)
         edges = seen_filter(edges, seen, fam=self.bloom, bc=self._bloom_bc)
-        # also anti-join what's still on the frontier (tracker semantics, D2)
+        # also anti-join what's still on the frontier (tracker semantics, D2).
+        # `frontier` is the PRE-removal state, so it still contains this
+        # superstep's own fetches — one anti-join covers both (their seen
+        # rows commit below)
         edges = edges.join(frontier.select("url_hash"), "url_hash", "left_anti")
-        # ... and this superstep's own fetches (their seen rows commit below)
-        edges = edges.join(F.broadcast(selected.select("url_hash")), "url_hash", "left_anti")
 
         if n_selected <= cfg.fifo_links_threshold:
             # exact FIFO: (parent seq, link position) order — single-partition
@@ -453,7 +476,7 @@ class Crawler:
 
         # ---- retries & dead letters ----------------------------------------
         retry = None if not cfg.expect_failures else (
-            failed.join(F.broadcast(selected.select("url_hash", "policy")), "url_hash")
+            failed  # policy rides the log row — no join back to the batch
             .filter(F.col("attempt") + 1 < cfg.max_attempts)
             .withColumn("attempt", (F.col("attempt") + 1).cast("int"))
             .withColumn(
@@ -520,6 +543,16 @@ class Crawler:
         if tok_defer is not None:
             next_frontier = next_frontier.unionByName(tok_defer)
         next_frontier = next_frontier.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        pipeline_frontier = pipelined and cfg.pipelined_frontier_commit
+        if pipeline_frontier:
+            # the plan is handed to the NEXT superstep's selection while the
+            # table write is still in flight; a lazy local checkpoint makes
+            # it a LEAF (LogicalRDD) — without truncation every superstep's
+            # plan embeds ~10 copies of the previous one (selection branches
+            # + anti-joins), an exponential tree that OOMs plan analysis.
+            # Materialized once by the background write job; the step after
+            # next reads the committed table again (lineage re-rooted).
+            next_frontier = next_frontier.localCheckpoint(eager=False)
 
         # ---- commit -----------------------------------------------------------
         # frontier is written synchronously (the next selection depends on
@@ -543,29 +576,14 @@ class Crawler:
         # new / retried rows changed this superstep; untouched partitions'
         # files stay byte-identical on disk (scale path: never rewrite the
         # whole 10^10-row frontier). Touched-set discovery reads only cached
-        # slim columns. Full overwrite when everything was touched, or every
+        # slim columns — and is skipped entirely for dense batches, where
+        # every partition is touched with near-certainty and a full overwrite
+        # is always-correct anyway. Full overwrite also fires every
         # compact_chain_len layers to bound read fan-in.
         touched_src = sel_all.select("host_salt").unionByName(new_rows.select("host_salt"))
         if retry is not None:
             touched_src = touched_src.unionByName(retry.select("host_salt"))
-        if cfg.incremental_frontier:
-            touched = sorted(
-                r["host_salt"] for r in touched_src.distinct().collect()
-            )
-        else:
-            touched = list(range(cfg.frontier_partitions))
-        if (
-            len(touched) >= cfg.frontier_partitions
-            or frontier_t.chain_length() + 1 >= cfg.compact_chain_len
-        ):
-            frontier_sid = frontier_t.overwrite(next_frontier)
-        else:
-            frontier_sid = frontier_t.replace_partitions(
-                next_frontier.filter(F.col("host_salt").isin(touched)),
-                touched,
-                "host_salt",
-            )
-        _mark("w_frontier")
+        dense_batch = n_selected >= cfg.frontier_partitions * 64
 
         # snapshot ids for the manifest are captured AT WRITE TIME (the
         # append/overwrite return values), never via current_snapshot() inside
@@ -575,6 +593,35 @@ class Crawler:
         # resume (ADVICE r01, high).
         dead_sid_prev = self.catalog.table("deadletters").current_snapshot()
 
+        def _frontier_job() -> int:
+            if not cfg.incremental_frontier or dense_batch:
+                touched = list(range(cfg.frontier_partitions))
+            else:
+                touched = sorted(
+                    r["host_salt"] for r in touched_src.distinct().collect()
+                )
+            if (
+                len(touched) >= cfg.frontier_partitions
+                or frontier_t.chain_length() + 1 >= cfg.compact_chain_len
+            ):
+                return frontier_t.overwrite(next_frontier)
+            return frontier_t.replace_partitions(
+                next_frontier.filter(F.col("host_salt").isin(touched)),
+                touched,
+                "host_salt",
+            )
+
+        # default: the frontier write is synchronous (the next selection
+        # depends on the table). With cfg.pipelined_frontier_commit the write
+        # joins the background group instead and the next superstep selects
+        # from the in-memory next-frontier plan; the dedup-phase barrier
+        # guarantees the write has landed before anything else depends on
+        # the table.
+        sync_frontier_sid: int | None = None
+        if not pipeline_frontier:
+            sync_frontier_sid = _frontier_job()
+            _mark("w_frontier")
+
         def _commit_rest() -> None:
             def _bloom_job():
                 # distributed bitmap build (only shard bitmaps reach the
@@ -583,11 +630,13 @@ class Crawler:
                     new_seen, "url_hash", self.bloom.shards, self.bloom.bits, self.bloom.k
                 )
 
-            with ThreadPoolExecutor(max_workers=4) as ex:
+            with ThreadPoolExecutor(max_workers=5) as ex:
                 futs = {
                     "seen": ex.submit(seen_t.append, new_seen),
                     "metrics": ex.submit(self.catalog.table("metrics").append, metrics_all),
                 }
+                if sync_frontier_sid is None:
+                    futs["frontier"] = ex.submit(_frontier_job)
                 if dead is not None:
                     futs["dead"] = ex.submit(self.catalog.table("deadletters").append, dead)
                 if self.bloom is not None:
@@ -603,7 +652,7 @@ class Crawler:
             self.manifest.record(
                 step,
                 {
-                    "frontier": frontier_sid,
+                    "frontier": results.get("frontier", sync_frontier_sid),
                     "pages": pages_sid,
                     "seen": results["seen"],
                     "deadletters": results.get("dead", dead_sid_prev),
@@ -623,9 +672,11 @@ class Crawler:
                     t.compact()
 
         if pipelined:
+            self._next_frontier = next_frontier if pipeline_frontier else None
             self._pending = self._commit_pool.submit(_commit_rest)
         else:
             _commit_rest()
+            self._next_frontier = None
         _mark("w_tables")
 
         if debug_timing:

@@ -29,7 +29,7 @@ from ospo_ghcrawler_spark.schemas import EXTRACT_SCHEMA
 
 FETCH_OUT_COLS = [
     "url", "url_hash", "host", "priority", "attempt", "depth",
-    "enqueue_step", "seq", "fetch_salt", "html", "lang", "warc_ts",
+    "enqueue_step", "seq", "policy", "fetch_salt", "html", "lang", "warc_ts",
     "status", "fetch_ms",
 ]
 

@@ -732,6 +732,33 @@ Q_FINGERPRINT_SQL = """
 """
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS), exploded to
+    (doc_id, gram_md5) rows for driver hashability — docs sharing a
+    fingerprint share a char-8-gram run."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fps = TXT.winnow_fingerprints(F.col("text"), k=8, w=4)
+    return docs.select("doc_id", F.explode(fps).alias("gram_md5"))
+
+
+Q_WINNOW_FINGERPRINT_SQL = """
+    WITH g AS (
+      SELECT doc_id,
+             [md5(substr(text, CAST(i AS INT), 8)) FOR i IN generate_series(1, length(text) - 7)] AS grams
+      FROM documents WHERE doc_id < 200
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct([
+               list_min(grams[CAST(j AS INT):CAST(j + 3 AS INT)])
+               FOR j IN generate_series(1, len(grams) - 3)
+             ]) AS fps
+      FROM g WHERE len(grams) >= 4
+    )
+    SELECT doc_id, unnest(fps) AS gram_md5 FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # S: similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -917,6 +944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "winnow_fingerprint": q_winnow_fingerprint,
     # similarity
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -952,6 +980,7 @@ ORACLES: dict[str, str] = {
     "quality_score": Q_QUALITY_SCORE_SQL,
     "lang_id": Q_LANG_ID_SQL,
     "fingerprint": Q_FINGERPRINT_SQL,
+    "winnow_fingerprint": Q_WINNOW_FINGERPRINT_SQL,
     "embedding_topk": Q_EMBEDDING_TOPK_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "ann_ivf_exhaustive": Q_EMBEDDING_TOPK_SQL,  # nprobe=all ≡ brute force

@@ -39,6 +39,10 @@ HARVEST_SCHEMA = T.StructType(
         T.StructField("depth", T.IntegerType(), True),
         T.StructField("enqueue_step", T.IntegerType(), True),
         T.StructField("seq", T.LongType(), True),
+        # the request's traversal policy rides the harvest (reference stores
+        # request context with the doc) — edges inherit it straight from the
+        # harvest log, no join back to the selected batch needed
+        T.StructField("policy", T.StringType(), True),
         T.StructField("superstep", T.IntegerType(), False),
         T.StructField("status", T.IntegerType(), False),  # 200 / 404 / 599
         T.StructField("fetch_ms", T.LongType(), True),
@@ -94,6 +98,7 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("depth", T.IntegerType()),
         T.StructField("enqueue_step", T.IntegerType()),
         T.StructField("seq", T.LongType()),
+        T.StructField("policy", T.StringType()),
         T.StructField("fetch_salt", T.IntegerType()),
         T.StructField("html", T.BinaryType()),
         T.StructField("lang", T.StringType()),

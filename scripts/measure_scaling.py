@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_HOSTS = 200
 LINKS = 25
-SENTENCES = 60
+SENTENCES = 60  # keep in sync with bench.py
 SEED_FRACTION = 4
 
 

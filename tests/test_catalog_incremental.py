@@ -136,3 +136,30 @@ def test_frontier_compacts_on_cadence(spark, tmp_path):
     assert "overwrite" in ops, "cadence must fold the chain periodically"
     seen_t = c.catalog.table("seen")
     assert seen_t.chain_length() <= cfg.compact_chain_len
+
+
+def test_pipelined_frontier_commit_equivalence(spark, tmp_path):
+    """cfg.pipelined_frontier_commit moves the frontier write into the
+    background commit group (next selection reads the in-memory plan); the
+    crawl outcome — seen set, pages, per-step selection counts — must be
+    IDENTICAL to the synchronous default."""
+    from pyspark.sql import functions as F
+
+    from ospo_ghcrawler_spark.config import CrawlConfig
+    from ospo_ghcrawler_spark.operators.engine import Crawler
+    from ospo_ghcrawler_spark.sources.corpus import page_url, synth_pages, synth_robots
+
+    N, H = 300, 5
+    corpus = synth_pages(spark, n_pages=N, n_hosts=H, links_per_page=6).cache()
+    robots = synth_robots(spark, n_hosts=H)
+    outcomes = {}
+    for mode in (False, True):
+        cfg = CrawlConfig(batch_size=40, pipelined_frontier_commit=mode, use_bloom=False)
+        c = Crawler(spark, str(tmp_path / f"cat_{mode}"), corpus, robots, cfg,
+                    run_id=f"p{mode}")
+        c.seed([page_url(i, N, H, False) for i in range(5)])
+        c.run(40)
+        seen = sorted(r["url_hash"] for r in c.catalog.table("seen").read().collect())
+        steps = [e["stats"]["selected"] for e in c.manifest.load()]
+        outcomes[mode] = (seen, steps)
+    assert outcomes[False] == outcomes[True]

@@ -1,0 +1,95 @@
+"""Streaming politeness monitors: watermarked window counts and the
+applyInPandasWithState compute limiter (reference inmemoryRateLimiter /
+computeLimiter semantics on a live fetch-event stream)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ospo_ghcrawler_spark.streaming.monitor import (
+    FETCH_EVENT_SCHEMA,
+    streaming_compute_limiter,
+    streaming_window_counts,
+)
+
+
+def _write_batch(d: str, name: str, rows):
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as f:
+        for host, ts, ms in rows:
+            f.write(json.dumps({"host": host, "ts": ts, "fetch_ms": ms}) + "\n")
+
+
+def test_streaming_window_counts_over_budget(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_batch(
+        src,
+        "b0.json",
+        [("h0", "2024-01-01 00:00:%02d" % i, 100) for i in range(5)]
+        + [("h1", "2024-01-01 00:00:30", 50)],
+    )
+    stream = spark.readStream.schema(FETCH_EVENT_SCHEMA).json(src)
+    out = streaming_window_counts(stream, window="1 minute", budget=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["host"]: r for r in spark.table("win_counts").collect()}
+    assert got["h0"]["used"] == 5 and got["h0"]["over"] is True
+    assert got["h1"]["used"] == 1 and got["h1"]["over"] is False
+    # batch-mode parity: same plan on a static frame gives the same rows
+    static = spark.read.schema(FETCH_EVENT_SCHEMA).json(src)
+    srows = {r["host"]: r for r in streaming_window_counts(static, "1 minute", 3).collect()}
+    assert srows["h0"]["used"] == 5 and srows["h1"]["over"] is False
+
+
+def test_streaming_compute_limiter_state_across_batches(spark, tmp_path):
+    """State must persist across micro-batches and the baseline must adapt
+    down (computeLimiter.js:27-33): consumed = sum(amount - baseline-so-far),
+    over_budget fires only once the running total crosses."""
+    src = str(tmp_path / "events2")
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink, exist_ok=True)
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run_once(tag):
+        emitted = []
+
+        def capture(batch, _bid):
+            emitted.extend(batch.collect())
+
+        q = (
+            streaming_compute_limiter(
+                spark.readStream.schema(FETCH_EVENT_SCHEMA).json(src), budget_ms=100
+            )
+            .writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)  # shared → state persists
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r for r in emitted if r["host"] == "h0"]
+
+    _write_batch(src, "b0.json", [("h0", "2024-01-01 00:00:00", 100),
+                                  ("h0", "2024-01-01 00:00:01", 40)])
+    r0 = _run_once("a")[-1]
+    # batch 1: amounts 100, 40 → baseline 100 then 40;
+    # consumed = (100-100) + (40-40) = 0 — all latency is the baseline floor
+    assert r0["n_calls"] == 2 and r0["baseline_ms"] == 40 and r0["consumed_ms"] == 0
+    assert r0["over_budget"] is False
+
+    # second micro-batch: slow calls against the adapted 40ms baseline,
+    # resumed from the SAME checkpoint → state survives across runs
+    _write_batch(src, "b1.json", [("h0", "2024-01-01 00:01:00", 140),
+                                  ("h0", "2024-01-01 00:01:01", 90)])
+    r1 = _run_once("b")[-1]
+    # consumed = (140-40) + (90-40) = 150 > 100 → benched
+    assert r1["n_calls"] == 4 and r1["consumed_ms"] == 150
+    assert r1["over_budget"] is True
