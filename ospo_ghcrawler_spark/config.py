@@ -115,6 +115,13 @@ class CrawlConfig:
     # exceeds this many layers (Iceberg rewrite_data_files cadence) — bounds
     # long-run read fan-in for frontier and seen
     compact_chain_len: int = 16
+    # compute document features (token counts, quality score, lang-id,
+    # whitespace-invariant fingerprint) inside the harvest-write pass — the
+    # only pass that materializes text — so the training-data pipeline's
+    # scoring signals land on the pages row with zero extra corpus scans.
+    # All JVM expressions (functions/text.py); they fuse into the harvest
+    # stage's whole-stage codegen and scale with cores.
+    featurize_at_fetch: bool = True
     # run the frontier table write inside the BACKGROUND commit group and let
     # the next superstep select from the in-memory next-frontier plan (lazily
     # local-checkpointed so plan trees stay bounded). Lowers absolute wall at

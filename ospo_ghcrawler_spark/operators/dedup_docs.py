@@ -200,6 +200,65 @@ def jaccard_verify_candidates(
     )
 
 
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Assign every doc a ``cluster_rep`` = min id in its near-duplicate
+    connected component (itself when it has no near-dups) — the
+    canonical-representative step that turns pairwise near-dup evidence into
+    a keep/drop decision per document (keep iff cluster_rep == id).
+
+    Hash-min label propagation: each round every doc takes the min of its own
+    label and its neighbors' labels — one shuffle per round, converging in
+    O(component diameter) rounds. Near-dup components are shallow stars/
+    cliques (variants of one source document), so rounds stay small even at
+    corpus scale; ``max_iter`` bounds pathological chains. Labels decrease
+    monotonically, so convergence is detected by an O(1) aggregate (the label
+    sum reaching a fixed point), and each round is cut from lineage with an
+    eager localCheckpoint — the plan tree stays constant-size across rounds.
+
+    ``pairs`` is any (a_id, b_id) near-dup pair set — minhash_lsh_pairs at
+    scale, ngram_jaccard_pairs as the small-SF oracle.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    )
+    labels = docs.select(
+        F.col(id_col), F.col(id_col).cast("long").alias("cluster_rep")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("cluster_rep")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col(id_col).alias("src"), F.col("cluster_rep").alias("nbr_label")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("cluster_rep"), F.coalesce("nbr_min", "cluster_rep")
+                ).alias("cluster_rep"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_rep")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc: sum shingle-hash sign contributions per bit,
     sign of the sum becomes the bit — entirely with shiftright/bitwise ops."""

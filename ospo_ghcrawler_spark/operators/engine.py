@@ -392,6 +392,34 @@ class Crawler:
         # fetch+extract pipeline executes exactly once, and later reads prune
         # html/text away (columnar scan) instead of re-materializing them.
         pages_t = self.catalog.table("pages")
+        if cfg.featurize_at_fetch:
+            # document featurization rides the harvest write — the only pass
+            # that materializes text — so quality/lang/token/fingerprint
+            # signals cost zero extra scans (all JVM expressions, they join
+            # the whole-stage-codegen span of the pages append)
+            from ospo_ghcrawler_spark.functions import text as _TXT
+
+            t = F.col("text")
+            ok_row = F.col("status") == 200  # no text → no features (all null)
+            feat_cols = [
+                F.when(ok_row, e).alias(nm)
+                for nm, e in [
+                    ("n_tokens", _TXT.token_count(t).cast("int")),
+                    ("n_types", _TXT.distinct_token_count(t).cast("int")),
+                    ("n_punct", _TXT.punct_count(t).cast("int")),
+                    ("quality", _TXT.quality_score(t)),
+                    ("lang_pred", _TXT.lang_id(t)),
+                    ("fp", _TXT.fingerprint(t)),
+                ]
+            ]
+        else:
+            feat_cols = [
+                F.lit(None).cast(dt).alias(nm)
+                for nm, dt in [
+                    ("n_tokens", "int"), ("n_types", "int"), ("n_punct", "int"),
+                    ("quality", "double"), ("lang_pred", "string"), ("fp", "string"),
+                ]
+            ]
         harvest = extracted.select(
             "url", "warc_ts", "html", "text", "lang", "links",
             "url_hash", "host", "priority", "attempt", "depth",
@@ -399,6 +427,7 @@ class Crawler:
             F.lit(step).cast("int").alias("superstep"),
             "status", "fetch_ms",
             F.md5(F.encode("text", "UTF-8")).alias("etag"),
+            *feat_cols,
         )
         pages_sid = pages_t.append(harvest)
         _mark("w_pages")

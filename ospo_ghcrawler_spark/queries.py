@@ -721,6 +721,102 @@ Q_LANG_ID_SQL = f"""
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs: every doc labeled with the
+    min doc_id of its component (keep iff cluster_rep == doc_id). Spark side
+    runs the scale path (LSH candidates → verified pairs → hash-min label
+    propagation); the oracle computes the same from exact Jaccard pairs via a
+    recursive transitive closure — tractable only at small SF."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, JACCARD_T)
+    return DD.neardup_clusters(docs, pairs)
+
+
+Q_NEARDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE g AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+      FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a_id, b_id FROM common
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_T}
+    ),
+    e AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    )
+    SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
+    FROM reach GROUP BY a
+"""
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style corpus-cleaning pipeline composed from the text operators:
+    language filter (n-gram lang-id == 'en') → quality-score threshold →
+    exact-dedup keeping the lowest doc_id per text. One declarative plan —
+    the scan is pruned to (doc_id, text), the only shuffle is the dedup
+    window, and every stage is JVM expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TXT.lang_id(F.col("text")).alias("pred_lang"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+    ).filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
+    w = Window.partitionBy("text_md5").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality")
+    )
+
+
+Q_CLEAN_CORPUS_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, text, md5(text) AS text_md5,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tok,
+             length(text) AS n_char,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS n_stop,
+             {_marker_sql('de')} AS s_de, {_marker_sql('en')} AS s_en,
+             {_marker_sql('es')} AS s_es, {_marker_sql('fr')} AS s_fr,
+             {_marker_sql('it')} AS s_it
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text_md5,
+             least(n_stop / greatest(n_tok, 1) * 2, 1.0) * 0.5
+             + (CASE WHEN n_char / greatest(n_tok, 1) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN n_punct / greatest(n_char, 1) <= 0.1 THEN 0.2 ELSE 0.0 END) AS quality,
+             greatest(s_de, s_en, s_es, s_fr, s_it) AS best, s_en, s_de, s_es, s_fr
+      FROM s
+    ),
+    kept AS (
+      -- pred_lang = 'en' iff best > 0, s_de loses the tie-break (it precedes
+      -- 'en' in the CASE order) and s_en hits the max; es/fr/it come after
+      SELECT doc_id, text_md5, quality FROM scored
+      WHERE best > 0 AND s_en = best AND s_de <> best
+        AND quality >= 0.5
+    )
+    SELECT doc_id, quality FROM (
+      SELECT doc_id, quality,
+             row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn
+      FROM kept
+    ) WHERE rn = 1
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
@@ -736,7 +832,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (MOSS), exploded to
     (doc_id, gram_md5) rows for driver hashability — docs sharing a
     fingerprint share a char-8-gram run."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
     fps = TXT.winnow_fingerprints(F.col("text"), k=8, w=4)
     return docs.select("doc_id", F.explode(fps).alias("gram_md5"))
 
@@ -745,7 +841,7 @@ Q_WINNOW_FINGERPRINT_SQL = """
     WITH g AS (
       SELECT doc_id,
              [md5(substr(text, CAST(i AS INT), 8)) FOR i IN generate_series(1, length(text) - 7)] AS grams
-      FROM documents WHERE doc_id < 200
+      FROM documents WHERE doc_id < 64
     ),
     w AS (
       SELECT doc_id,
@@ -939,6 +1035,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "neardup_clusters": q_neardup_clusters,
+    "clean_corpus": q_clean_corpus,
     "simhash_pairs": q_simhash_pairs,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
@@ -976,6 +1074,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "minhash_lsh": Q_MINHASH_LSH_SQL,
+    "neardup_clusters": Q_NEARDUP_CLUSTERS_SQL,
+    "clean_corpus": Q_CLEAN_CORPUS_SQL,
     "token_stats": Q_TOKEN_STATS_SQL,
     "quality_score": Q_QUALITY_SCORE_SQL,
     "lang_id": Q_LANG_ID_SQL,

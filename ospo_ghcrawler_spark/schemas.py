@@ -51,6 +51,19 @@ HARVEST_SCHEMA = T.StructType(
         # (reference storageDocStore.etag, providers/storage/
         # storageDocStore.js:79-91)
         T.StructField("etag", T.StringType(), True),
+        # fetch-time document features (cfg.featurize_at_fetch; null when
+        # disabled): the text-quality signals a training-data pipeline needs
+        # are computed in the SAME single pass that already holds the text,
+        # so the corpus never has to be re-scanned to score it — pure JVM
+        # expressions inside the harvest-write stage
+        T.StructField("n_tokens", T.IntegerType(), True),
+        T.StructField("n_types", T.IntegerType(), True),
+        T.StructField("n_punct", T.IntegerType(), True),
+        T.StructField("quality", T.DoubleType(), True),
+        T.StructField("lang_pred", T.StringType(), True),
+        # whitespace-invariant content fingerprint (dedup key; etag above is
+        # the exact-bytes change key)
+        T.StructField("fp", T.StringType(), True),
     ]
 )
 

@@ -129,3 +129,32 @@ def test_fingerprint_whitespace_invariant(spark):
     fps = [r["f"] for r in df.select(TXT.fingerprint(F.col("text")).alias("f")).collect()]
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+def test_neardup_clusters_transitive(spark):
+    """Label propagation must close transitively: a~b and b~c puts a,b,c in
+    one cluster even when a~c alone misses the threshold; singletons keep
+    themselves as representative."""
+    rows = [
+        (10, "a b c d e f g h i j k l"),
+        (11, "a b c d e f g h i j k x"),   # near 10
+        (12, "a b c d e f g h i j y x"),   # near 11, farther from 10
+        (13, "totally unrelated text goes right here now ok fine yes"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12)], ["a_id", "b_id"]
+    )
+    out = {r["doc_id"]: r["cluster_rep"] for r in
+           DD.neardup_clusters(docs, pairs).collect()}
+    assert out == {10: 10, 11: 10, 12: 10, 13: 13}
+
+
+def test_neardup_clusters_chain_converges(spark):
+    """A long chain exercises multiple propagation rounds (diameter > 1)."""
+    n = 12
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(n)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a_id", "b_id"])
+    out = {r["doc_id"]: r["cluster_rep"] for r in
+           DD.neardup_clusters(docs, pairs).collect()}
+    assert out == {i: 0 for i in range(n)}
