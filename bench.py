@@ -184,9 +184,12 @@ def main() -> None:
         spark, n_pages=n_pages, n_hosts=N_HOSTS, links_per_page=LINKS,
         partitions=2 * CPUS, sentences=SENTENCES,
     ).write.mode("overwrite").parquet(corpus_dir)
-    synth_robots(spark, n_hosts=N_HOSTS, default_budget=1 << 30).write.mode(
-        "overwrite"
-    ).parquet(robots_dir)
+    # crawl_delay_ms=0: the throughput legs model hosts without a
+    # Crawl-delay directive (a delay would cap the per-superstep budget via
+    # effective_host_budget and flip the unbound fast path off)
+    synth_robots(
+        spark, n_hosts=N_HOSTS, default_budget=1 << 30, crawl_delay_ms=0
+    ).write.mode("overwrite").parquet(robots_dir)
 
     # second, smaller corpus for the politeness-BOUND leg (the unbound
     # headline trips the budget_unbound fast path by design; this leg keeps

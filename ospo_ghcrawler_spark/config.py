@@ -43,6 +43,12 @@ class CrawlConfig:
     # per-host fetches per superstep window; analog of token callCapLimit=30
     # per 1s window (/root/reference/lib/crawlerFactory.js:68-69)
     host_budget: int = 30
+    # wall-clock length the superstep window MODELS for robots Crawl-delay
+    # accounting: a host with crawl_delay_ms gets at most
+    # floor(superstep_window_ms / crawl_delay_ms) fetches per superstep
+    # (politeness.effective_host_budget). 60 s default keeps the typical
+    # 100 ms delay non-binding against the default host_budget of 30.
+    superstep_window_ms: int = 60_000
     # weighted interleave of the five priority queues
     # (/root/reference/lib/crawlerFactory.js:80)
     weights: dict[int, int] = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))

@@ -53,12 +53,31 @@ def robots_allowed_filter(df: DataFrame, robots: DataFrame, url_col: str = "url"
 
 
 def effective_host_budget(robots: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """(host, budget) dim: min(config cap, robots budget_per_window)."""
+    """(host, budget) dim: min(config cap, robots budget_per_window, and the
+    robots Crawl-delay directive re-expressed per superstep window).
+
+    The superstep is the engine's fixed politeness window (the batch analog
+    of the reference's windowed rate limiter, providers/limiting/
+    inmemoryRateLimiter.js:26): a host demanding ``crawl_delay_ms`` between
+    hits can absorb at most ``floor(superstep_window_ms / crawl_delay_ms)``
+    fetches per window (≥1 so a delayed host still progresses). 0/null delay
+    means "no directive"."""
+    delay_cap = F.when(
+        F.col("crawl_delay_ms") > 0,
+        F.greatest(
+            F.floor(F.lit(cfg.superstep_window_ms) / F.col("crawl_delay_ms")),
+            F.lit(1),
+        ),
+    ).otherwise(F.lit(cfg.host_budget))
     return robots.select(
         "host",
-        F.least(F.lit(cfg.host_budget), F.coalesce("budget_per_window", F.lit(cfg.host_budget))).alias(
-            "host_budget"
-        ),
+        F.least(
+            F.lit(cfg.host_budget),
+            F.coalesce("budget_per_window", F.lit(cfg.host_budget)),
+            F.coalesce(delay_cap, F.lit(cfg.host_budget)),
+        )
+        .cast("long")
+        .alias("host_budget"),
     )
 
 

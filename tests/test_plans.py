@@ -50,3 +50,21 @@ def test_embedding_topk_broadcasts_queries(spark):
     plan = _plan(spark, "embedding_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_clean_corpus_single_exchange_pruned_scan(spark):
+    """C4-style pipeline: lang/quality filters are row-wise projections; the
+    only shuffle is the exact-dedup window, and the documents scan reads
+    just (doc_id, text)."""
+    plan = _plan(spark, "clean_corpus")
+    assert plan.count("Exchange") == 1, "expected exactly the dedup-window shuffle"
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "doc_id" in scan and "text" in scan
+    assert "lang" not in scan.split("ReadSchema")[-1].replace("lang_pred", "")
+
+
+def test_winnow_fingerprint_no_exchange(spark):
+    """Per-row rolling-hash fingerprints: pure projection + explode, no
+    shuffle anywhere."""
+    plan = _plan(spark, "winnow_fingerprint")
+    assert "Exchange" not in plan

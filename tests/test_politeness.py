@@ -179,3 +179,40 @@ def test_priority_preemption(spark, tmp_path):
     # mirroring the reference's weighted interleave rather than strict priority
     assert len(got & set(events)) == 3
     assert len(got & set(normal)) == 1
+
+
+def test_crawl_delay_caps_budget(spark):
+    """robots Crawl-delay → per-superstep cap = floor(window/delay), min 1;
+    0/null delay → no cap (effective_host_budget)."""
+    from ospo_ghcrawler_spark.operators.politeness import effective_host_budget
+
+    rows = [
+        ("a.example", [], 500, 1000),    # window 2000ms / 500 → cap 4
+        ("b.example", [], 0, 1000),      # no directive → config cap
+        ("c.example", [], 5000, 1000),   # delay > window → still 1
+        ("d.example", [], 100, 2),       # robots budget 2 binds below delay cap 20
+    ]
+    robots = spark.createDataFrame(rows, ROBOTS_SCHEMA)
+    cfg = CrawlConfig(host_budget=50, superstep_window_ms=2000)
+    got = {r["host"]: r["host_budget"] for r in effective_host_budget(robots, cfg).collect()}
+    assert got == {"a.example": 4, "b.example": 50, "c.example": 1, "d.example": 2}
+
+
+def test_crawl_delay_enforced_in_crawl(spark, tmp_path):
+    """End-to-end: a host demanding a binding Crawl-delay never exceeds
+    floor(window/delay) fetches in any superstep."""
+    N, H = 200, 2
+    corpus = synth_pages(spark, n_pages=N, n_hosts=H, links_per_page=6).cache()
+    # both hosts demand 400ms; window 1200ms → cap 3 per superstep
+    robots = synth_robots(spark, n_hosts=H, default_budget=1 << 20, crawl_delay_ms=400)
+    c = _crawler(spark, tmp_path, corpus, robots, batch_size=50,
+                 host_budget=1 << 20, superstep_window_ms=1200)
+    c.seed([page_url(i, N, H, False) for i in range(10)])
+    for _ in range(6):
+        if not c.superstep():
+            break
+    m = c.catalog.table("metrics").read().filter(F.col("host") != "__run__")
+    worst = m.groupBy("superstep", "host").agg(F.sum("selected").alias("n")).agg(
+        F.max("n")
+    ).collect()[0][0]
+    assert worst is not None and worst <= 3, f"crawl-delay cap violated: {worst} > 3"
