@@ -68,7 +68,7 @@ BENCH_QUERIES = [
     "url_canonicalize", "delta_log_naming", "retry_routing", "token_traits",
     "dedup_exact", "minhash_lsh", "neardup_clusters", "clean_corpus",
     "token_stats", "quality_score", "lang_id", "fingerprint",
-    "winnow_fingerprint", "embedding_topk", "ann_lsh", "ann_ivf",
+    "winnow_fingerprint", "sample_stratified", "embedding_topk", "ann_lsh", "ann_ivf",
     "binary_meta", "media_features",
 ]
 

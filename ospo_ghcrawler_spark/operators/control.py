@@ -155,6 +155,31 @@ def pages_latest(crawler: Crawler) -> DataFrame:
     return pages.withColumn("_v", F.row_number().over(w)).filter(F.col("_v") == 1).drop("_v")
 
 
+def export_clean_corpus(
+    crawler: Crawler, lang: str = "en", min_quality: float = 0.5
+) -> DataFrame:
+    """Training-ready corpus straight from the crawl catalog: latest version
+    of every successfully fetched page, language-filtered, quality-gated and
+    exact-deduped by content fingerprint (lowest seq wins) — the C4-style
+    pipeline (queries.clean_corpus) applied to the engine's own output.
+
+    Runs entirely off the fetch-time feature columns
+    (cfg.featurize_at_fetch): lang_pred / quality / fp were computed in the
+    harvest-write pass, so this export never re-scans text — at 100 TB the
+    scan prunes to slim columns and the only shuffles are the two windows
+    (latest-version, dedup). Falls back transparently when featurization was
+    off: null lang_pred/quality rows simply fail the filters."""
+    latest = pages_latest(crawler).filter(
+        (F.col("lang_pred") == lang) & (F.col("quality") >= min_quality)
+    )
+    w = Window.partitionBy("fp").orderBy("seq")
+    return (
+        latest.withColumn("_d", F.row_number().over(w))
+        .filter(F.col("_d") == 1)
+        .drop("_d")
+    )
+
+
 def doc_get(crawler: Crawler, url: str) -> DataFrame:
     """Doc lookup by url (storageDocStore.get via url→urn map, S3/S7 — here
     the mapping is a column, so lookup is a pruned filter). Upsert read

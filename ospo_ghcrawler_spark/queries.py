@@ -40,6 +40,7 @@ JACCARD_T = 0.8
 HAMMING_K = 8
 TOPK = 5
 N_QUERIES = 20  # embedding query subset: vec_id < 20
+SAMPLE_CAP = 40  # balanced-downsample cap per language stratum
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -817,6 +818,33 @@ Q_CLEAN_CORPUS_SQL = f"""
 """
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced downsample (training-data curation: cap every
+    stratum so no language/domain dominates the mix): rank docs inside each
+    lang by a stable id hash and keep the first SAMPLE_CAP. No RNG — the
+    sample is identical at any parallelism and in the DuckDB oracle. At
+    scale this is one shuffle (the per-stratum window)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_CAP)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+Q_SAMPLE_STRATIFIED_SQL = f"""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {SAMPLE_CAP}
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
@@ -1043,6 +1071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "sample_stratified": q_sample_stratified,
     # similarity
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -1081,6 +1110,7 @@ ORACLES: dict[str, str] = {
     "lang_id": Q_LANG_ID_SQL,
     "fingerprint": Q_FINGERPRINT_SQL,
     "winnow_fingerprint": Q_WINNOW_FINGERPRINT_SQL,
+    "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
     "embedding_topk": Q_EMBEDDING_TOPK_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "ann_ivf_exhaustive": Q_EMBEDDING_TOPK_SQL,  # nprobe=all ≡ brute force

@@ -139,3 +139,43 @@ def test_refetch_recrawl(spark, tmp_path):
     assert set(changes) == set(targets)
     assert all(not r["changed"] for r in changes.values()), "static corpus: etags equal"
     assert all(r["n_fetches"] == 2 for r in changes.values())
+
+
+def test_export_clean_corpus_uses_fetch_features(spark, tmp_path):
+    """export_clean_corpus = the C4 pipeline over the crawl's own output,
+    driven by the fetch-time feature columns: only latest-version 200 rows,
+    all matching the lang/quality gates, and no duplicate fingerprints."""
+    from pyspark.sql import functions as F
+
+    from ospo_ghcrawler_spark.config import CrawlConfig
+    from ospo_ghcrawler_spark.operators import control as C
+    from ospo_ghcrawler_spark.operators.engine import Crawler
+    from ospo_ghcrawler_spark.sources.corpus import page_url, synth_pages, synth_robots
+
+    N, H = 300, 5
+    corpus = synth_pages(spark, n_pages=N, n_hosts=H, links_per_page=6).cache()
+    robots = synth_robots(spark, n_hosts=H)
+    c = Crawler(spark, str(tmp_path / "cat"), corpus, robots,
+                CrawlConfig(batch_size=150), run_id="x")
+    c.seed([page_url(i, N, H, False) for i in range(6)])
+    c.run(30)
+    c._await_pending()
+
+    out = C.export_clean_corpus(c, lang="en", min_quality=0.2).cache()
+    rows = out.count()
+    assert rows > 0
+    assert out.filter(F.col("status") != 200).count() == 0
+    assert out.filter((F.col("lang_pred") != "en") | (F.col("quality") < 0.2)).count() == 0
+    assert out.groupBy("fp").count().filter("count > 1").count() == 0
+    assert out.groupBy("url_hash").count().filter("count > 1").count() == 0
+    # consistency with recomputing the same gates from text directly
+    from ospo_ghcrawler_spark.functions import text as TXT
+    latest = C.pages_latest(c)
+    expected = latest.filter(
+        (TXT.lang_id(F.col("text")) == "en") & (TXT.quality_score(F.col("text")) >= 0.2)
+    ).count()
+    dups = latest.filter(
+        (TXT.lang_id(F.col("text")) == "en") & (TXT.quality_score(F.col("text")) >= 0.2)
+    ).groupBy(TXT.fingerprint(F.col("text"))).count().filter("count > 1")
+    n_extra = dups.agg(F.sum(F.col("count") - 1)).collect()[0][0] or 0
+    assert rows == expected - n_extra
