@@ -226,10 +226,18 @@ def neardup_clusters(
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .localCheckpoint()
     )
-    labels = docs.select(
-        F.col(id_col), F.col(id_col).cast("long").alias("cluster_rep")
-    ).localCheckpoint()
+    # the loop runs ONLY over the paired subgraph — at corpus scale that is
+    # (dup rate × corpus), orders of magnitude smaller than the doc table;
+    # singletons (the overwhelming majority) never enter a propagation round
+    # and are attached with one left join at the end
+    labels = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .select(F.col(id_col), F.col(id_col).cast("long").alias("cluster_rep"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("cluster_rep")).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
@@ -256,7 +264,11 @@ def neardup_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels
+    paired = labels.withColumnRenamed("cluster_rep", "_rep")
+    return docs.select(id_col).join(paired, id_col, "left").select(
+        id_col,
+        F.coalesce("_rep", F.col(id_col).cast("long")).alias("cluster_rep"),
+    )
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
