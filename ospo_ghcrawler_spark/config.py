@@ -102,6 +102,18 @@ class CrawlConfig:
     bloom_bits_per_shard: int = 1 << 20
     bloom_hashes: int = 7
     use_bloom: bool = True
+    # track the RECRAWL WINDOW (urls removed from `seen` by
+    # requeue_for_refetch, until they settle again) in a delete-capable
+    # cuckoo filter (north rule: "bloom+cuckoo URL-seen"). Bloom bits can't
+    # be deleted, so a requeued url leaves a stale bloom positive; with the
+    # cuckoo, seen_filter routes stale-positive rows through a broadcast
+    # check against the small pending set instead of the full-`seen`
+    # anti-join — refetch churn stops taxing the big join. Off ⇒ stale
+    # positives fall back to the exact-rescue path (correct, slower).
+    recrawl_cuckoo: bool = True
+    # cuckoo buckets (4 slots each; rounded up to a power of two) — sized
+    # for the expected in-flight recrawl window, not the corpus
+    recrawl_cuckoo_buckets: int = 1 << 15
 
     # --- partitioning / skew -----------------------------------------------
     # frontier is hash-partitioned by host_salt = xxhash64(host) % partitions

@@ -230,12 +230,15 @@ def requeue_for_refetch(crawler: Crawler, urls: list[str], priority: int = 2) ->
     """Conditional-refetch path (reference etag semantics, D3: the fetcher
     reuses the stored etag to decide 304-skips; here recrawl is explicit):
     the given already-crawled urls leave the ``seen`` table and re-enter the
-    frontier at 'soon' priority. The bloom filter is NOT rebuilt — its now-
-    stale positives route the urls through the exact-confirmation anti-join,
-    which no longer finds them (this false-positive rescue path is exactly
-    what makes windowed deletes safe without a cuckoo rebuild). Change
-    detection afterwards: compare the new harvest row's ``etag`` (md5 of
-    extracted text) with the previous snapshot's.
+    frontier at 'soon' priority. The bloom filter is NOT rebuilt (bloom bits
+    can't delete) — the urls enter the RECRAWL WINDOW instead
+    (Crawler.register_recrawl): a delete-capable cuckoo + exact pending set
+    that seen_filter uses to route the stale bloom positives through a
+    broadcast window check rather than the full-`seen` anti-join; on
+    cfg.recrawl_cuckoo=False the stale positives fall back to the exact
+    rescue join (correct, slower). Change detection afterwards: compare the
+    new harvest row's ``etag`` (md5 of extracted text) with the previous
+    snapshot's.
 
     Returns the number requeued."""
     from ospo_ghcrawler_spark.functions.urls import canonicalize_udf, host_col
@@ -261,6 +264,9 @@ def requeue_for_refetch(crawler: Crawler, urls: list[str], priority: int = 2) ->
         cand.unpersist()
         return 0
     seen_t.overwrite(keep)
+    # window registration strictly AFTER the seen delete (an entry whose
+    # seen row survives would be confirmed fresh while still seen)
+    crawler.register_recrawl(hashes)
     f_t = crawler.catalog.table("frontier")
     p = crawler.cfg.frontier_partitions
     rows = (
@@ -304,10 +310,12 @@ def changed_since_refetch(crawler: Crawler) -> DataFrame:
 
 
 def tracker_flush(crawler: Crawler) -> None:
-    """Tracker flush (D4): drop the seen table + reset bloom filters."""
+    """Tracker flush (D4): drop the seen table + reset bloom and the recrawl
+    cuckoo window (nothing is seen, so nothing is pending un-seen)."""
     crawler.catalog.table("seen").drop_data()
     if crawler.bloom is not None:
         crawler.bloom.bitmaps[:] = 0
         if crawler._bloom_bc is not None:
             crawler._bloom_bc.unpersist()
             crawler._bloom_bc = None
+    crawler.clear_recrawl()

@@ -185,22 +185,80 @@ def seen_filter(
     hash_col: str = "url_hash",
     fam: BloomFamily | None = None,
     bc=None,
+    recrawl_cf: "CuckooFilter | None" = None,
+    recrawl_pending: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of *candidates* whose hash is NOT in *seen*.
 
     With a bloom family: bloom-negatives pass immediately; only bloom-maybes
     pay the exact anti-join (false-positive rescue). Without: plain anti-join.
+
+    With a recrawl cuckoo (*recrawl_cf* = the delete-capable filter over the
+    in-flight recrawl window, *recrawl_pending* = the window's exact hash
+    set as a small DataFrame): bloom-maybe rows the cuckoo flags check
+    membership in the BROADCAST pending set — a window hit is definitely
+    un-seen (its seen row was deleted at requeue) and skips the full-`seen`
+    anti-join; a cuckoo false positive falls through to the exact rescue, so
+    correctness never rests on the cuckoo. The cuckoo probe rides the same
+    Arrow pass as the bloom probe (one mapInPandas, two flags).
     """
     if fam is None:
         return candidates.join(seen.select(hash_col), on=hash_col, how="left_anti")
-    flagged = bloom_flag_column(candidates, hash_col, fam, "_maybe_seen", bc=bc)
-    fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    rescue = (
-        flagged.filter(F.col("_maybe_seen"))
-        .drop("_maybe_seen")
-        .join(seen.select(hash_col), on=hash_col, how="left_anti")
+    use_cf = recrawl_cf is not None and recrawl_pending is not None
+    flagged = _seen_flags_column(
+        candidates, hash_col, fam, bc=bc, cf=recrawl_cf if use_cf else None
     )
+    flags = ["_maybe_seen"] + (["_in_window"] if use_cf else [])
+    fresh = flagged.filter(~F.col("_maybe_seen")).drop(*flags)
+    maybe = flagged.filter(F.col("_maybe_seen"))
+    if use_cf:
+        win = maybe.filter(F.col("_in_window")).drop(*flags)
+        confirmed = win.join(
+            F.broadcast(recrawl_pending.select(hash_col)), on=hash_col, how="left_semi"
+        )
+        fallthrough = win.join(
+            F.broadcast(recrawl_pending.select(hash_col)), on=hash_col, how="left_anti"
+        )
+        rest = maybe.filter(~F.col("_in_window")).drop(*flags).unionByName(fallthrough)
+        rescue = rest.join(seen.select(hash_col), on=hash_col, how="left_anti")
+        return fresh.unionByName(confirmed).unionByName(rescue)
+    rescue = maybe.drop(*flags).join(seen.select(hash_col), on=hash_col, how="left_anti")
     return fresh.unionByName(rescue)
+
+
+def _seen_flags_column(
+    df: DataFrame, hash_col: str, fam: BloomFamily, bc=None, cf: "CuckooFilter | None" = None
+) -> DataFrame:
+    """One vectorized Arrow pass adding ``_maybe_seen`` (bloom probe) and —
+    when a recrawl cuckoo is given — ``_in_window`` (cuckoo probe). The bloom
+    bitmaps ship as a Spark broadcast; the cuckoo table is small (2 bytes ×
+    4 × buckets, window-sized not corpus-sized) and ships in the closure."""
+    bits, k, shards = fam.bits, fam.k, fam.shards
+    if bc is None:
+        bc = df.sparkSession.sparkContext.broadcast(fam.bitmaps)
+    fields = list(df.schema.fields) + [T.StructField("_maybe_seen", T.BooleanType(), False)]
+    cf_table = cf.table if cf is not None else None
+    cf_buckets = cf.n_buckets if cf is not None else 0
+    if cf is not None:
+        fields.append(T.StructField("_in_window", T.BooleanType(), False))
+    out_schema = T.StructType(fields)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = BloomFamily(shards, bits, k)
+        local.bitmaps = bc.value
+        local_cf = None
+        if cf_table is not None:
+            local_cf = CuckooFilter(cf_buckets)
+            local_cf.table = cf_table
+        for pdf in batches:
+            pdf = pdf.copy()
+            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            pdf["_maybe_seen"] = local.might_contain(h)
+            if local_cf is not None:
+                pdf["_in_window"] = local_cf.contains(h)
+            yield pdf
+
+    return df.mapInPandas(probe, schema=out_schema)
 
 
 def attenuate(df: DataFrame, keys: list[str] | None = None) -> DataFrame:

@@ -28,6 +28,25 @@ N_PERM = 64
 BANDS = 16
 ROWS_PER_BAND = N_PERM // BANDS
 
+# Cached intermediates (shared shingle/signature passes) registered here so
+# long-lived sessions can release them: the result DataFrames are lazy, so
+# the operators cannot unpersist before the CALLER materializes — call
+# :func:`clear_caches` (or spark.catalog.clearCache()) once the result is
+# materialized (ADVICE r02: repeated invocations otherwise leak cached
+# blocks for the life of the session).
+_CACHED: list[DataFrame] = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    _CACHED.append(df)
+    return df.cache()
+
+
+def clear_caches() -> None:
+    """Unpersist every intermediate cached by this module's operators."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Group identical texts: (keep_id = min id, n_dups) per md5 key."""
@@ -43,9 +62,16 @@ def _spread(df: DataFrame) -> DataFrame:
     (e.g. one small parquet file): the shingle explosion multiplies every row
     ~50×, so a 1-partition scan would run the whole expansion on one task.
     No-op (no shuffle) when the source already has enough partitions — at
-    warehouse scale the table is wide already and this never fires."""
+    warehouse scale the table is wide already and this never fires.
+
+    Under-partitioning is detected from the scan's input-file count (plan
+    analysis only — no plan→RDD conversion on the query path): a large
+    splittable file fans out via spark.sql.files.maxPartitionBytes on its
+    own, so only the few-small-files shape needs the repartition; in-memory
+    sources (createDataFrame) already carry defaultParallelism."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, 8):
+    n_files = len(df.inputFiles())
+    if 0 < n_files < min(target, 8):
         return df.repartition(target)
     return df
 
@@ -78,7 +104,7 @@ def ngram_jaccard_pairs(
     """Exact Jaccard-similar pairs (a_id < b_id, jaccard >= threshold) via
     shingle self-join. Cost ~ sum over shingles of (docs sharing it)^2 —
     fine when shingle collisions are rare; use minhash_lsh_pairs at scale."""
-    g = shingles(docs, id_col, text_col, n).cache()
+    g = _cache(shingles(docs, id_col, text_col, n))
     sizes = g.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = g.alias("a"), g.alias("b")
     common = (
@@ -134,7 +160,7 @@ def minhash_lsh_pairs(
     # one shingle pass feeds BOTH the signatures and the verify stage (cache
     # is an optimization, not a correctness dependency — at warehouse scale
     # it degrades to recompute/spill)
-    g = shingles(docs, id_col, text_col).cache()
+    g = _cache(shingles(docs, id_col, text_col))
     sig = minhash_signatures(docs, id_col, text_col, n_perm, shingles_df=g)
     band_cols = F.array(
         *[
@@ -347,7 +373,7 @@ def simhash_pairs(
     n_chunks = n_chunks if n_chunks is not None else min(max_hamming + 1, 64)
     if n_chunks > 64:
         raise ValueError("n_chunks must be ≤ 64 (one bit per chunk minimum)")
-    sig = simhash(docs, id_col).cache()
+    sig = _cache(simhash(docs, id_col))
     cand = simhash_candidates(sig, n_chunks, id_col)
     sa = sig.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sig_b"))

@@ -33,6 +33,7 @@ from ospo_ghcrawler_spark.functions.extract import extract_pages_map_in_pandas
 from ospo_ghcrawler_spark.functions.urls import canonicalize_udf, host_col
 from ospo_ghcrawler_spark.operators.dedup import (
     BloomFamily,
+    CuckooFilter,
     build_bloom_distributed,
     seen_filter,
 )
@@ -85,6 +86,19 @@ class Crawler:
             else None
         )
         self.step = 0
+        # recrawl window (D3, north rule "bloom+cuckoo"): urls removed from
+        # `seen` by requeue_for_refetch leave STALE bloom positives (bloom
+        # bits can't delete). The delete-capable cuckoo tracks exactly that
+        # window; seen_filter uses it to route stale-positive rows through a
+        # broadcast pending-set check instead of the full-`seen` anti-join.
+        # `_recrawl_pending` is the window's exact driver-side hash set
+        # (bounded by control-plane requeue volume, not corpus size); the
+        # cuckoo is its probe-optimized executor-side form. An entry MISSING
+        # from the window is always safe (falls back to the exact rescue),
+        # so crash-recovery ordering only ever drops entries, never keeps
+        # stale ones (see _commit_rest / requeue ordering).
+        self.recrawl_cf: CuckooFilter | None = None
+        self._recrawl_pending: set[int] = set()
         # credential pools (R3): the token dim is tiny — always broadcastable;
         # None (the default) bypasses the token machinery entirely
         self.tokens_dim = (
@@ -181,7 +195,7 @@ class Crawler:
 
         # token dim is O(credentials): collect+rebuild keeps it a local plan,
         # not an ever-growing lazy lineage chain
-        updated = exhaust_tokens(self.tokens_dim, [value], until_step)
+        updated = exhaust_tokens(self.tokens_dim, [value], until_step, current_step=self.step)
         rows = updated.collect()
         self.tokens_dim = self.spark.createDataFrame(rows, updated.schema)
 
@@ -473,7 +487,19 @@ class Crawler:
         seen = seen_t.read()
         if self.bloom is not None and self._bloom_bc is None:
             self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom.bitmaps)
-        edges = seen_filter(edges, seen, fam=self.bloom, bc=self._bloom_bc)
+        # active recrawl window → hand seen_filter the cuckoo + the exact
+        # pending set (tiny, broadcast) so stale bloom positives skip the
+        # full-`seen` anti-join
+        recrawl_df = None
+        if self.recrawl_cf is not None and self._recrawl_pending:
+            recrawl_df = self.spark.createDataFrame(
+                [(h,) for h in sorted(self._recrawl_pending)], "url_hash long"
+            )
+        edges = seen_filter(
+            edges, seen, fam=self.bloom, bc=self._bloom_bc,
+            recrawl_cf=self.recrawl_cf if recrawl_df is not None else None,
+            recrawl_pending=recrawl_df,
+        )
         # also anti-join what's still on the frontier (tracker semantics, D2).
         # `frontier` is the PRE-removal state, so it still contains this
         # superstep's own fetches — one anti-join covers both (their seen
@@ -678,6 +704,26 @@ class Crawler:
                 if self._bloom_bc is not None:
                     self._bloom_bc.unpersist()
                     self._bloom_bc = None  # rebroadcast lazily next superstep
+            if self._recrawl_pending:
+                # drain the recrawl window: settled urls leave the cuckoo.
+                # Filter is bounded by |pending| (isin over a control-plane
+                # set), never a corpus scan. Ordered BEFORE the manifest
+                # commit point: a crash in between rolls `seen` back, so a
+                # drained entry's url is un-seen again and the missing
+                # window entry routes through the (safe) exact rescue.
+                import numpy as np
+
+                pend = list(self._recrawl_pending)
+                done = [
+                    r["url_hash"]
+                    for r in new_seen.filter(F.col("url_hash").isin(pend))
+                    .select("url_hash")
+                    .collect()
+                ]
+                if done:
+                    self.recrawl_cf.remove(np.array(done, dtype=np.int64))
+                    self._recrawl_pending.difference_update(done)
+                    self._save_recrawl()
             self.manifest.record(
                 step,
                 {
@@ -722,6 +768,76 @@ class Crawler:
         d = os.path.join(self.catalog.root, "_bloom")
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"bloom_{step:06d}.npz")
+
+    # -------------------------------------------------- recrawl window (D3)
+
+    def _recrawl_path(self) -> str:
+        d = os.path.join(self.catalog.root, "_bloom")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, "recrawl.npz")
+
+    def register_recrawl(self, url_hashes: list[int]) -> None:
+        """Enter urls into the recrawl window — called by
+        control.requeue_for_refetch AFTER the `seen` rows are deleted (a
+        window entry whose seen row still exists would confirm a seen url as
+        fresh; the reverse order can only lose entries, which is safe)."""
+        if not self.cfg.recrawl_cuckoo or not url_hashes:
+            return
+        import numpy as np
+
+        if self.recrawl_cf is None:
+            self.recrawl_cf = CuckooFilter(self.cfg.recrawl_cuckoo_buckets)
+        fresh = [h for h in url_hashes if h not in self._recrawl_pending]
+        self.recrawl_cf.add(np.array(fresh, dtype=np.int64))
+        self._recrawl_pending.update(fresh)
+        self._save_recrawl()
+
+    def _save_recrawl(self) -> None:
+        import numpy as np
+
+        path = self._recrawl_path()
+        if not self._recrawl_pending:
+            if os.path.exists(path):
+                os.remove(path)
+            return
+        tmp = path + ".tmp"
+        np.savez(tmp, pending=np.array(sorted(self._recrawl_pending), dtype=np.int64))
+        os.replace(tmp + ".npz", path)
+
+    def _load_recrawl(self) -> None:
+        """Restore the recrawl window on resume. Resume rolls tables back to
+        the last MANIFEST snapshot, which undoes any control-plane requeue
+        made after it — so a persisted entry whose `seen` deletion was rolled
+        back must be dropped (it would confirm a seen url as fresh). The
+        window is reconciled against the restored `seen` table (one bounded
+        isin probe) and the cuckoo is rebuilt exactly from the survivors."""
+        import numpy as np
+
+        path = self._recrawl_path()
+        if not os.path.exists(path) or not self.cfg.recrawl_cuckoo:
+            return
+        pend = [int(h) for h in np.load(path)["pending"]]
+        if pend:
+            seen = self.catalog.table("seen").read()
+            rolled_back = {
+                r["url_hash"]
+                for r in seen.filter(F.col("url_hash").isin(pend))
+                .select("url_hash")
+                .collect()
+            }
+            pend = [h for h in pend if h not in rolled_back]
+        self._recrawl_pending = set(pend)
+        if pend:
+            self.recrawl_cf = CuckooFilter(self.cfg.recrawl_cuckoo_buckets)
+            self.recrawl_cf.add(np.array(sorted(pend), dtype=np.int64))
+        self._save_recrawl()
+
+    def clear_recrawl(self) -> None:
+        self.recrawl_cf = None
+        self._recrawl_pending = set()
+        path = self._recrawl_path()
+        if os.path.exists(path):
+            os.remove(path)
 
     # ------------------------------------------------------------------- run
 
@@ -769,4 +885,5 @@ class Crawler:
             path = c._bloom_path(last["superstep"])
             if os.path.exists(path):
                 c.bloom = BloomFamily.load(path)
+        c._load_recrawl()
         return c

@@ -24,6 +24,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+
+# Cached intermediates (signature / cluster-assignment passes) — same
+# registry contract as operators.dedup_docs: results are lazy, so callers
+# release cached blocks with clear_caches() after materializing (ADVICE r02).
+_CACHED: list[DataFrame] = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    _CACHED.append(df)
+    return df.cache()
+
+
+def clear_caches() -> None:
+    """Unpersist every intermediate cached by this module's operators."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -204,7 +222,8 @@ def lsh_neardup_pairs(
     sigs = base.mapInPandas(
         _sign_signature_udf(id_col, vec_col, dim, n_tables, n_bits, seed),
         schema=sig_schema,
-    ).cache()
+    )
+    sigs = _cache(sigs)
     sizes = sigs.groupBy("table", "sig").agg(F.count("*").alias("_n"))
     ok = sizes.filter(F.col("_n") <= max_bucket).select("table", "sig")
     kept = sigs.join(F.broadcast(ok), ["table", "sig"])
@@ -310,7 +329,7 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: exact cosine re-rank within the nprobe nearest clusters."""
     assigned, centroids = ivf_assign(vectors, n_clusters, dim, seed, id_col, vec_col)
-    assigned = assigned.cache()
+    assigned = _cache(assigned)
 
     def probe_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

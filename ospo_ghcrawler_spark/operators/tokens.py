@@ -74,19 +74,21 @@ def tokens_df(
     return spark.createDataFrame(rows, TOKEN_SCHEMA)
 
 
-def exhaust_tokens(tokens: DataFrame, values: list[str], until: int) -> DataFrame:
-    """Bench the named tokens until superstep *until*: a token already benched
-    with a LATER restore keeps it; an expired/absent bench takes the new one
-    (tokenFactory.js:74-86 — "if the token is already on the bench, its
-    restore time is unaffected"; expiry is checked against 'now', which at
-    batch granularity is the *until* caller's current step)."""
+def exhaust_tokens(
+    tokens: DataFrame, values: list[str], until: int, current_step: int = 0
+) -> DataFrame:
+    """Bench the named tokens until superstep *until*. A token ACTIVELY on
+    the bench keeps its existing restore time — even when the new *until* is
+    later (tokenFactory.js:78-84: "if the token is already on the bench, its
+    restore time is unaffected"); only an expired or absent bench takes the
+    new one. Expiry is checked against the caller's *current_step* — the
+    batch-granular 'now' of the reference's ``now > benchUntil`` clock check
+    (ADVICE r02: using *until* as 'now' wrongly extended active benches)."""
     hit = F.col("value").isin(values)
+    expired_or_free = F.coalesce("bench_until", F.lit(-1)) <= current_step
     return tokens.withColumn(
         "bench_until",
-        F.when(
-            hit & (F.coalesce("bench_until", F.lit(-1)) < until),
-            F.greatest(F.coalesce("bench_until", F.lit(0)), F.lit(until)),
-        ).otherwise(F.col("bench_until")),
+        F.when(hit & expired_or_free, F.lit(until)).otherwise(F.col("bench_until")),
     )
 
 

@@ -865,6 +865,18 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode(fps).alias("gram_md5"))
 
 
+def q_winnow_fingerprint_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 winnowing (production variant): same gram boundaries and
+    window mechanics as winnow_fingerprint, one 64-bit mix per gram instead
+    of an md5 digest. Hash-dependent values → rows-only driver check; the
+    machinery equivalence to the md5 variant is pinned by
+    tests/test_text_and_dedup_docs.py (fast path run WITH md5 ≡ oracle
+    path)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    fps = TXT.winnow_fingerprints_fast(F.col("text"), k=8, w=4)
+    return docs.select("doc_id", F.explode(fps).alias("gram_hash"))
+
+
 Q_WINNOW_FINGERPRINT_SQL = """
     WITH g AS (
       SELECT doc_id,
@@ -1071,6 +1083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "winnow_fingerprint_fast": q_winnow_fingerprint_fast,
     "sample_stratified": q_sample_stratified,
     # similarity
     "embedding_topk": q_embedding_topk,
@@ -1116,6 +1129,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_exhaustive": Q_EMBEDDING_TOPK_SQL,  # nprobe=all ≡ brute force
     "binary_meta": Q_BINARY_META_SQL,
     "media_features": Q_MEDIA_FEATURES_SQL,
-    # simhash_pairs / ann_lsh / ann_ivf: hash- or projection-dependent →
-    # rows-only checks (tests pin their quality/recall instead)
+    # simhash_pairs / ann_lsh / ann_ivf / winnow_fingerprint_fast: hash- or
+    # projection-dependent → rows-only checks (tests pin their
+    # quality/recall/equivalence instead)
 }

@@ -47,6 +47,7 @@ BENCH_SCHEMA = T.StructType(
         T.StructField("baseline_ms", T.LongType(), False),
         T.StructField("n_calls", T.LongType(), False),
         T.StructField("over_budget", T.BooleanType(), False),
+        T.StructField("window_start_ms", T.LongType(), False),
     ]
 )
 
@@ -55,6 +56,7 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("consumed_ms", T.LongType(), False),
         T.StructField("baseline_ms", T.LongType(), False),
         T.StructField("n_calls", T.LongType(), False),
+        T.StructField("window_start_ms", T.LongType(), False),
     ]
 )
 
@@ -82,32 +84,48 @@ def streaming_window_counts(
 
 
 def streaming_compute_limiter(
-    events: DataFrame, budget_ms: int, preallocated_ms: int = 0
+    events: DataFrame, budget_ms: int, preallocated_ms: int = 0,
+    window_ms: int = 60_000,
 ) -> DataFrame:
     """Per-host stateful compute limiter over a fetch-event stream.
 
-    ``applyInPandasWithState`` keeps (consumed_ms, baseline_ms, n_calls) per
-    host; each micro-batch folds its events with the reference's consume
-    arithmetic: ``consumed += amount − baseline − preallocated`` with the
-    baseline adapting DOWN to the fastest call observed
-    (computeLimiter.js:27-33). Emits one row per (host, batch) with the
-    running totals and the over-budget flag — the caller benches the host
-    (cf. the batch engine's ``compute_limiter_benches``)."""
+    ``applyInPandasWithState`` keeps (consumed_ms, baseline_ms, n_calls,
+    window_start_ms) per host; each micro-batch folds its events (in event-
+    time order) with the reference's consume arithmetic: ``consumed +=
+    amount − baseline − preallocated`` with the baseline adapting DOWN to
+    the fastest call observed (computeLimiter.js:27-33). Consumption is
+    WINDOWED, like the reference's Redis limiter whose accumulator key
+    expires per window (computeLimiter.js consume → rate-limiter TTL): an
+    event past ``window_ms`` from the window start opens a fresh window and
+    resets consumed_ms, so ``over_budget`` reflects the current window's
+    consumption and a benched host recovers once a calm window passes
+    (ADVICE r02 — an unwindowed accumulator benched hosts forever). The
+    baseline and the lifetime n_calls counter survive window resets (the
+    reference's baseline also never resets).
+
+    Emits one row per (host, batch) with the current-window totals and the
+    over-budget flag — the caller benches the host (cf. the batch engine's
+    ``compute_limiter_benches``)."""
 
     def update(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            consumed, baseline, n_calls = state.get
+            consumed, baseline, n_calls, win_start = state.get
         else:
-            consumed, baseline, n_calls = 0, (1 << 62), 0
-        for pdf in pdfs:
-            for amount in pdf["fetch_ms"]:
-                a = int(amount)
-                baseline = min(baseline, a)  # adaptive floor, line 30
-                consumed += a - baseline - preallocated_ms
-                n_calls += 1
-        state.update((consumed, baseline, n_calls))
+            consumed, baseline, n_calls, win_start = 0, (1 << 62), 0, -1
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("ts", kind="stable")
+        for ts, amount in zip(batch["ts"], batch["fetch_ms"]):
+            a = int(amount)
+            t_ms = int(pd.Timestamp(ts).value // 1_000_000)
+            if win_start < 0 or t_ms >= win_start + window_ms:
+                win_start = t_ms  # new window opens on its first event
+                consumed = 0
+            baseline = min(baseline, a)  # adaptive floor, line 30
+            consumed += a - baseline - preallocated_ms
+            n_calls += 1
+        state.update((consumed, baseline, n_calls, win_start))
         yield pd.DataFrame(
             {
                 "host": [key[0]],
@@ -115,6 +133,7 @@ def streaming_compute_limiter(
                 "baseline_ms": [baseline],
                 "n_calls": [n_calls],
                 "over_budget": [consumed > budget_ms],
+                "window_start_ms": [win_start],
             }
         )
 

@@ -34,8 +34,9 @@ SEED_SCHEMA = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("priority", T.IntegerType(), True),
         T.StructField("policy", T.StringType(), True),
-        # hex HMAC-SHA1 of the url under the webhook secret (the reference's
-        # X-Hub-Signature, routes/webhook.js:19-29); optional payload blob
+        # hex HMAC-SHA1 of the whole seed row (url+priority+policy+payload,
+        # see seed_message_col) under the webhook secret — the reference's
+        # whole-body X-Hub-Signature, routes/webhook.js:19-29
         T.StructField("signature", T.StringType(), True),
         T.StructField("payload", T.StringType(), True),
     ]
@@ -60,19 +61,57 @@ def hmac_sha1_col(key: bytes, msg_col) -> F.Column:
     return F.sha1(F.concat(F.lit(okey), F.unhex(inner)))
 
 
+def seed_message_col() -> F.Column:
+    """The canonical signed message of a seed row: every request field the
+    engine acts on — url, priority, policy, payload — joined with newlines
+    (nulls as empty fields, so the field count is fixed). The reference
+    signs the ENTIRE request body (routes/webhook.js:19-29 computes
+    X-Hub-Signature over the raw payload); signing only the url would let a
+    captured (url, signature) pair be replayed with attacker-chosen
+    priority/policy/payload (ADVICE r02)."""
+    return F.concat_ws(
+        "\n",
+        F.coalesce(F.col("url"), F.lit("")),
+        F.coalesce(F.col("priority").cast("string"), F.lit("")),
+        F.coalesce(F.col("policy"), F.lit("")),
+        F.coalesce(F.col("payload"), F.lit("")),
+    )
+
+
+def sign_seed(
+    secret: bytes,
+    url: str,
+    priority: int | None = None,
+    policy: str | None = None,
+    payload: str | None = None,
+) -> str:
+    """Producer-side signature for a seed row — the Python mirror of
+    :func:`seed_message_col` + :func:`hmac_sha1_col` (what a webhook sender
+    puts in X-Hub-Signature)."""
+    import hashlib
+    import hmac
+
+    msg = "\n".join(
+        [url or "", "" if priority is None else str(priority), policy or "", payload or ""]
+    )
+    return hmac.new(secret, msg.encode(), hashlib.sha1).hexdigest()
+
+
 def verify_webhook_batch(
     batch: DataFrame, secret: bytes | None, max_message_kb: int = MAX_MESSAGE_KB
 ) -> DataFrame:
     """Webhook authenticity + size gate (C3): with a secret configured, rows
-    whose ``signature`` does not equal the url's HMAC-SHA1 are dropped — the
-    reference 400s on X-Hub-Signature mismatch (routes/webhook.js:26-29,
-    timing-safe compare; a batch filter has no early-exit timing channel).
-    Oversized payloads are dropped per the queuing messageSize cap."""
+    whose ``signature`` does not equal the HMAC-SHA1 of the WHOLE seed row
+    (:func:`seed_message_col` — url+priority+policy+payload, the reference's
+    whole-body X-Hub-Signature) are dropped — the reference 400s on mismatch
+    (routes/webhook.js:26-29, timing-safe compare; a batch filter has no
+    early-exit timing channel). Oversized payloads are dropped per the
+    queuing messageSize cap."""
     out = batch
     if secret is not None:
         out = out.filter(
             F.col("signature").isNotNull()
-            & (F.lower("signature") == hmac_sha1_col(secret, F.col("url")))
+            & (F.lower("signature") == hmac_sha1_col(secret, seed_message_col()))
         )
     return out.filter(
         F.coalesce(F.octet_length("payload"), F.lit(0)) <= max_message_kb * 1024

@@ -127,7 +127,17 @@ def test_refetch_recrawl(spark, tmp_path):
     targets = [page_url(i, N, H, False) for i in (0, 1, 2)]
     n = C.requeue_for_refetch(c, targets)
     assert n == 3
+    # requeue enters the urls into the recrawl window (cuckoo + pending):
+    # the stale bloom positives now route through the broadcast window
+    # check, not the full-seen anti-join
+    assert c.recrawl_cf is not None and len(c._recrawl_pending) == 3
+    import numpy as np
+    pend = np.array(sorted(c._recrawl_pending), dtype=np.int64)
+    assert c.recrawl_cf.contains(pend).all()
     c.run(10)
+    # the window drains as the refetches settle
+    assert len(c._recrawl_pending) == 0
+    assert not c.recrawl_cf.contains(pend).any()
 
     pages = c.catalog.table("pages").read().filter(F.col("status") == 200)
     assert pages.count() == before_pages + 3

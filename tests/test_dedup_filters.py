@@ -68,6 +68,37 @@ def test_bloom_flag_column_and_seen_filter(spark):
     assert survivors_exact == survivors
 
 
+def test_seen_filter_recrawl_window(spark):
+    """Recrawl-window routing: a url deleted from `seen` (stale bloom
+    positive) passes as fresh via the broadcast window check WITHOUT the
+    full-seen anti-join deciding it; a cuckoo hit that is NOT in the exact
+    pending set (false-positive emulation) falls through to the exact
+    rescue and is still correctly dropped when seen."""
+    seen_hashes = list(range(0, 100, 2))  # evens seen
+    bloom_fam = BloomFamily(4, 1 << 14, 5)
+    bloom_fam.add(np.array(seen_hashes + [4, 6], dtype=np.int64))  # bloom is stale-inclusive
+
+    # urls 4 and 6 were requeued: deleted from seen, in the window
+    recrawled = [4, 6]
+    seen_now = [h for h in seen_hashes if h not in recrawled]
+    seen = spark.createDataFrame([(h, f"u{h}") for h in seen_now], ["url_hash", "url"])
+    cands = spark.createDataFrame([(h, f"u{h}") for h in range(0, 100)], ["url_hash", "url"])
+
+    cf = CuckooFilter(256)
+    cf.add(np.array(recrawled + [8], dtype=np.int64))  # 8 = emulated false positive
+    pending = spark.createDataFrame([(h,) for h in recrawled], ["url_hash"])
+
+    got = {r["url_hash"] for r in seen_filter(
+        cands, seen, fam=bloom_fam, recrawl_cf=cf, recrawl_pending=pending
+    ).collect()}
+    odds = set(range(1, 100, 2))
+    assert got == odds | {4, 6}, "window urls fresh; fp url 8 stays seen-blocked"
+
+    # equivalence: the same answer as the plain exact path
+    exact = {r["url_hash"] for r in seen_filter(cands, seen, fam=None).collect()}
+    assert got == exact
+
+
 def test_attenuate_within_batch(spark):
     df = spark.createDataFrame(
         [(1, "a", 0), (1, "a", 0), (2, "b", 0), (1, "a", 1)],

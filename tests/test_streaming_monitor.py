@@ -93,3 +93,47 @@ def test_streaming_compute_limiter_state_across_batches(spark, tmp_path):
     # consumed = (140-40) + (90-40) = 150 > 100 → benched
     assert r1["n_calls"] == 4 and r1["consumed_ms"] == 150
     assert r1["over_budget"] is True
+
+
+def test_streaming_compute_limiter_window_recovers(spark, tmp_path):
+    """Consumption is per-window (the reference's limiter key expires per
+    window): a host that blew the budget must come OFF the bench once a calm
+    window passes — the accumulator resets, the adaptive baseline does not
+    (ADVICE r02: an unwindowed accumulator benched hosts forever)."""
+    src = str(tmp_path / "events3")
+    ckpt = str(tmp_path / "ckpt3")
+
+    def _run_once():
+        emitted = []
+
+        def capture(batch, _bid):
+            emitted.extend(batch.collect())
+
+        q = (
+            streaming_compute_limiter(
+                spark.readStream.schema(FETCH_EVENT_SCHEMA).json(src),
+                budget_ms=100, window_ms=60_000,
+            )
+            .writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r for r in emitted if r["host"] == "h0"]
+
+    # window 1: baseline adapts to 10, then two 200ms calls → consumed 380 > 100
+    _write_batch(src, "b0.json", [("h0", "2024-01-01 00:00:00", 10),
+                                  ("h0", "2024-01-01 00:00:01", 200),
+                                  ("h0", "2024-01-01 00:00:02", 200)])
+    r0 = _run_once()[-1]
+    assert r0["over_budget"] is True and r0["consumed_ms"] == 380
+
+    # window 2 (a minute later): one modest call → fresh accumulator,
+    # consumed = 50 - 10 = 40 ≤ 100 → bench lifts; baseline survives
+    _write_batch(src, "b1.json", [("h0", "2024-01-01 00:01:30", 50)])
+    r1 = _run_once()[-1]
+    assert r1["over_budget"] is False
+    assert r1["consumed_ms"] == 40 and r1["baseline_ms"] == 10
+    assert r1["n_calls"] == 4  # lifetime counter keeps counting

@@ -131,6 +131,36 @@ def test_fingerprint_whitespace_invariant(spark):
     assert fps[0] != fps[2]
 
 
+def test_winnow_fast_machinery_equivalent(spark):
+    """The xxhash64 winnowing variant shares gram boundaries + window
+    mechanics with the md5 (oracle) variant: running the parameterized
+    machinery WITH md5 must reproduce winnow_fingerprints exactly, and the
+    fast variant must emit one fingerprint set per doc with plausible size
+    (≤ #windows, ≥ 1 for any doc with ≥ k+w-1 chars)."""
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "abcdefghijk"), (2, "short")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    md5_default = df.select(
+        "doc_id", TXT.winnow_fingerprints(F.col("text")).alias("fp")
+    )
+    md5_via_param = df.select(
+        "doc_id",
+        TXT.winnow_fingerprints(
+            F.col("text"), gram_hash=lambda g: F.md5(F.encode(g, "UTF-8"))
+        ).alias("fp"),
+    )
+    assert sorted(md5_default.collect()) == sorted(md5_via_param.collect())
+    fast = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", TXT.winnow_fingerprints_fast(F.col("text")).alias("fp")
+    ).collect()}
+    slow = {r["doc_id"]: r["fp"] for r in md5_default.collect()}
+    # same selection mechanics ⇒ same per-doc fingerprint-count bounds and
+    # the same empty/non-empty classification (doc 2 is under one gram)
+    for i in (0, 1, 2):
+        assert (len(fast[i]) == 0) == (len(slow[i]) == 0)
+    assert len(fast[1]) >= 1 and len(fast[1]) <= len("abcdefghijk") - 8 + 1 - 3
+
+
 def test_neardup_clusters_transitive(spark):
     """Label propagation must close transitively: a~b and b~c puts a,b,c in
     one cluster even when a~c alone misses the threshold; singletons keep

@@ -26,6 +26,7 @@ from ospo_ghcrawler_spark.operators.tokens import (
 from ospo_ghcrawler_spark.sources.corpus import page_url, synth_pages, synth_robots
 from ospo_ghcrawler_spark.streaming.seeds import (
     hmac_sha1_col,
+    sign_seed,
     verify_webhook_batch,
 )
 
@@ -93,14 +94,18 @@ def test_bench_expiry_frees_token(spark):
     assert assign_tokens(reqs, toks, step=4).collect()[0]["token"] is None
 
 
-def test_exhaust_keeps_earlier_unexpired_restore(spark):
-    """exhaust on an already-benched token leaves its restore time unchanged
-    (tokenFactory.js:78-84)."""
-    toks = exhaust_tokens(tokens_df(spark, "a#x"), ["a"], 7)
-    toks = exhaust_tokens(toks, ["a"], 3)  # still benched (3 < 7) → keep 7
+def test_exhaust_keeps_active_restore_unaffected(spark):
+    """exhaust on an ACTIVELY benched token leaves its restore time unchanged
+    — earlier OR later new until (tokenFactory.js:78-84: expiry is checked
+    against the caller's clock, not the requested restore time); an EXPIRED
+    bench takes the new restore."""
+    toks = exhaust_tokens(tokens_df(spark, "a#x"), ["a"], 7, current_step=0)
+    toks = exhaust_tokens(toks, ["a"], 3, current_step=0)  # active → keep 7
     assert toks.collect()[0]["bench_until"] == 7
-    toks2 = exhaust_tokens(toks, ["a"], 9)  # 9 > 7 → extend
-    assert toks2.collect()[0]["bench_until"] == 9
+    toks2 = exhaust_tokens(toks, ["a"], 9, current_step=0)  # active → still 7
+    assert toks2.collect()[0]["bench_until"] == 7
+    toks3 = exhaust_tokens(toks, ["a"], 9, current_step=7)  # expired → re-bench
+    assert toks3.collect()[0]["bench_until"] == 9
 
 
 def test_round_robin_pick_spreads_pool(spark):
@@ -250,7 +255,7 @@ def test_hmac_sha1_col_matches_hashlib(spark):
 def test_verify_webhook_batch_drops_bad_sig_and_oversize(spark):
     secret = b"k"
     ok_url = "http://h0.example/a"
-    sig = hmac_mod.new(secret, ok_url.encode(), hashlib.sha1).hexdigest()
+    sig = sign_seed(secret, ok_url, 0, None, "small")
     rows = [
         (ok_url, 0, None, sig, "small"),
         ("http://h0.example/b", 0, None, "deadbeef", "x"),  # bad signature
@@ -265,3 +270,23 @@ def test_verify_webhook_batch_drops_bad_sig_and_oversize(spark):
     # without a secret the signature gate is off but the size cap stays
     got2 = {r["url"] for r in verify_webhook_batch(df, None).collect()}
     assert got2 == {ok_url, "http://h0.example/b", "http://h0.example/c"}
+
+
+def test_verify_webhook_signature_covers_whole_row(spark):
+    """The signature binds url AND priority/policy/payload (the reference
+    signs the entire request body): replaying a captured (url, signature)
+    with a different priority or policy or payload must be rejected."""
+    secret = b"k"
+    url = "http://h0.example/a"
+    sig = sign_seed(secret, url, 0, "default", "p")
+    rows = [
+        (url, 0, "default", sig, "p"),        # authentic
+        (url, 9, "default", sig, "p"),        # tampered priority
+        (url, 0, "broad", sig, "p"),          # tampered policy
+        (url, 0, "default", sig, "evil"),     # tampered payload
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, priority int, policy string, signature string, payload string"
+    )
+    kept = verify_webhook_batch(df, secret).collect()
+    assert len(kept) == 1 and kept[0]["priority"] == 0 and kept[0]["policy"] == "default"
