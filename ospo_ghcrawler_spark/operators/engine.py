@@ -505,6 +505,20 @@ class Crawler:
         # superstep's own fetches — one anti-join covers both (their seen
         # rows commit below)
         edges = edges.join(frontier.select("url_hash"), "url_hash", "left_anti")
+        # dead-lettered urls are neither seen nor on the frontier — without
+        # this anti-join a later link rediscovery silently re-enqueues and
+        # re-exhausts them. The reference parks failed requests in the
+        # deadletter STORE until the operator explicitly requeues
+        # (routes/deadletters.js:26-31 — our requeue_deadletters, which
+        # clears the table so rediscovery works again after requeue). Only
+        # possible when failures are expected; the dl table is
+        # failure-bounded, so AQE broadcasts this join at any corpus scale.
+        if cfg.expect_failures:
+            edges = edges.join(
+                self.catalog.table("deadletters").read().select("url_hash"),
+                "url_hash",
+                "left_anti",
+            )
 
         if n_selected <= cfg.fifo_links_threshold:
             # exact FIFO: (parent seq, link position) order — single-partition

@@ -127,6 +127,76 @@ def simulated_fetch(selected: DataFrame, corpus: DataFrame, cfg: CrawlConfig) ->
     return _status_and_latency(joined, cfg)
 
 
+# one-time per-corpus membership BLOOM (scale path): built distributed —
+# only the bitmaps (shards × bits/8 bytes) ever reach the driver, vs
+# _corpus_url_set which collects every corpus url. Keyed by DataFrame
+# identity like the url-set cache.
+_CORPUS_BLOOM_CACHE: dict[int, tuple[DataFrame, object]] = {}
+
+
+def _corpus_bloom(corpus: DataFrame, shards: int = 16, bits: int = 1 << 23, k: int = 7):
+    from ospo_ghcrawler_spark.operators.dedup import build_bloom_distributed
+
+    key = id(corpus)
+    hit = _CORPUS_BLOOM_CACHE.get(key)
+    if hit is not None and hit[0] is corpus:
+        return hit[1]
+    fam = build_bloom_distributed(
+        corpus.select(F.xxhash64("url").alias("url_hash")), "url_hash", shards, bits, k
+    )
+    if len(_CORPUS_BLOOM_CACHE) >= _URL_SET_CACHE_MAX:
+        _CORPUS_BLOOM_CACHE.popitem()
+    _CORPUS_BLOOM_CACHE[key] = (corpus, fam)
+    return fam
+
+
+def simulated_fetch_bloom(selected: DataFrame, corpus: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """``simulated_fetch`` with SCALE-SAFE miss detection: nothing
+    corpus-sized ever reaches the driver.
+
+    - hits: unchanged — corpus ⋈(BHJ, broadcast selected keys);
+    - misses: a corpus-side bloom (built distributed, one-time per corpus —
+      only bitmaps ship to the driver) classifies the selected batch.
+      Bloom-negatives are DEFINITE misses (no false negatives) → 404
+      immediately. Bloom-positives that are false positives produce no hit
+      row, so they are recovered by one anti-join against the hit keys —
+      whose corpus side is pruned to the url column and whose output is
+      batch-bounded. This is the miss-detection shape that holds at a 10^10-
+      url universe, where collecting the url set (``_corpus_url_set``) is
+      impossible; the default ``simulated_fetch`` keeps the collected set
+      only because the sandbox corpus is bounded and the collect is cheaper
+      than the bloom build at test scale. Equivalence of the two fetchers is
+      pinned by tests/test_fetch_contract.py."""
+    from ospo_ghcrawler_spark.operators.dedup import bloom_flag_column
+
+    sel_cols = [c for c in FETCH_OUT_COLS if c not in ("html", "lang", "warc_ts", "status", "fetch_ms")]
+    sel_slim = selected.select(*sel_cols)
+    body = corpus.select(F.col("url").alias("_curl"), "html", "lang", "warc_ts")
+    hits = body.join(
+        F.broadcast(sel_slim), sel_slim["url"] == body["_curl"], "inner"
+    ).drop("_curl")
+
+    fam = _corpus_bloom(corpus)
+    flagged = bloom_flag_column(selected.select(*sel_cols), "url_hash", fam, "_maybe")
+    definite_miss = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    hit_keys = corpus.select(F.xxhash64("url").alias("url_hash")).join(
+        F.broadcast(selected.select("url_hash")), "url_hash", "left_semi"
+    )
+    fp_miss = flagged.filter(F.col("_maybe")).drop("_maybe").join(
+        hit_keys, "url_hash", "left_anti"
+    )
+    misses = (
+        definite_miss.unionByName(fp_miss)
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+    )
+    joined = hits.select(*[c for c in FETCH_OUT_COLS if c not in ("status", "fetch_ms")]).unionByName(
+        misses.select(*[c for c in FETCH_OUT_COLS if c not in ("status", "fetch_ms")])
+    )
+    return _status_and_latency(joined, cfg)
+
+
 def make_generator_fetch(
     n_pages: int,
     n_hosts: int,
