@@ -43,6 +43,67 @@ def _dir_digest(path: str) -> str:
     return h.hexdigest()
 
 
+@pytest.fixture(params=["parquet", "iceberg"])
+def backend_table(request, spark, tmp_path):
+    """The SnapshotTable CONTRACT under both backends: the parquet shim
+    (always) and a real Iceberg table (when the runtime jar is present and
+    the session was launched with SPARK_GRAFT_ICEBERG=1 — the sandbox has
+    neither jar nor network, so the Iceberg leg skips explicitly here and
+    goes green unchanged on a real cluster)."""
+    from ospo_ghcrawler_spark.plans.catalog import (
+        IcebergSnapshotTable,
+        iceberg_available,
+    )
+
+    if request.param == "parquet":
+        return SnapshotTable(spark, str(tmp_path), "t", SCHEMA)
+    if not iceberg_available(spark) or not spark.conf.get(
+        "spark.sql.extensions", ""
+    ).count("Iceberg"):
+        pytest.skip(
+            "Iceberg runtime absent (no jar/network in sandbox) — run with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime and "
+            "SPARK_GRAFT_ICEBERG=1"
+        )
+    import uuid
+
+    return IcebergSnapshotTable(
+        spark, "crawl", "t_ns", f"t_{uuid.uuid4().hex[:8]}", SCHEMA, partition_col="salt"
+    )
+
+
+def test_contract_replace_append_rollback(backend_table, spark):
+    """Backend-agnostic contract: partition replace leaves other partitions'
+    rows intact, appends stack on top, later replaces mask all older layers
+    of their partitions, and set_current reproduces any snapshot's state."""
+    t = backend_table
+    base_sid = t.overwrite(_rows(spark, [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]))
+    rep_sid = t.replace_partitions(_rows(spark, [(20, 1, "B"), (21, 1, "B2")]), [1], "salt")
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (20, "B"), (21, "B2"), (3, "c")}
+
+    t.append(_rows(spark, [(30, 0, "x")]))
+    assert {r["k"] for r in t.read().collect()} == {1, 20, 21, 3, 30}
+    t.replace_partitions(_rows(spark, [(40, 0, "y")]), [0], "salt")
+    assert {r["k"] for r in t.read().collect()} == {40, 20, 21, 3}
+
+    t.set_current(rep_sid)
+    assert {r["k"] for r in t.read().collect()} == {1, 20, 21, 3}
+    t.set_current(base_sid)
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_contract_compaction_bounds_fanin(backend_table, spark):
+    t = backend_table
+    t.overwrite(_rows(spark, [(0, 0, "z")]))
+    for i in range(1, 6):
+        t.append(_rows(spark, [(i, i % 3, "z")]))
+    assert t.chain_length() == 6
+    t.compact()
+    assert t.chain_length() == 1
+    assert {r["k"] for r in t.read().collect()} == set(range(6))
+
+
 def test_replace_partitions_semantics(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path), "t", SCHEMA)
     base_sid = t.overwrite(_rows(spark, [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]))
@@ -68,17 +129,6 @@ def test_replace_partitions_semantics(spark, tmp_path):
     assert {r["k"] for r in t.read().collect()} == {1, 20, 21, 3}
     t.set_current(base_sid)
     assert {r["k"] for r in t.read().collect()} == {1, 2, 3}
-
-
-def test_compaction_bounds_fanin(spark, tmp_path):
-    t = SnapshotTable(spark, str(tmp_path), "t", SCHEMA)
-    t.overwrite(_rows(spark, [(0, 0, "z")]))
-    for i in range(1, 6):
-        t.append(_rows(spark, [(i, i % 3, "z")]))
-    assert t.chain_length() == 6
-    t.compact()
-    assert t.chain_length() == 1
-    assert {r["k"] for r in t.read().collect()} == set(range(6))
 
 
 def test_superstep_leaves_untouched_partitions_bytes_alone(spark, tmp_path):
