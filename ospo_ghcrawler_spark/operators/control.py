@@ -255,18 +255,26 @@ def requeue_for_refetch(crawler: Crawler, urls: list[str], priority: int = 2) ->
         .dropDuplicates(["url_hash"])
         .cache()
     )
-    hashes = [r["url_hash"] for r in cand.select("url_hash").collect()]
     seen_t = crawler.catalog.table("seen")
     seen = seen_t.read()
-    keep = seen.filter(~F.col("url_hash").isin(hashes))
-    n = seen.count() - keep.count()
+    keys = cand.select("url_hash")
+    # membership + delete as broadcast semi/anti joins (the candidate side
+    # is the caller's bounded url list) — no driver-side isin over seen
+    present = [
+        r["url_hash"]
+        for r in seen.join(F.broadcast(keys), "url_hash", "left_semi")
+        .select("url_hash")
+        .collect()
+    ]
+    n = len(present)
     if n == 0:
         cand.unpersist()
         return 0
-    seen_t.overwrite(keep)
+    seen_t.overwrite(seen.join(F.broadcast(keys), "url_hash", "left_anti"))
     # window registration strictly AFTER the seen delete (an entry whose
-    # seen row survives would be confirmed fresh while still seen)
-    crawler.register_recrawl(hashes)
+    # seen row survives would be confirmed fresh while still seen); only
+    # hashes actually removed from `seen` enter the window
+    crawler.register_recrawl(present)
     f_t = crawler.catalog.table("frontier")
     p = crawler.cfg.frontier_partitions
     rows = (
