@@ -13,9 +13,12 @@ Budget discipline (round-3 rework — BENCH_r02 was killed by the driver's
 timeout with nothing parseable on stdout):
 
 - the whole run fits a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S,
-  default 1200 s): the crawl corpus is SIZED from the budget remaining after
-  the query timings, using the Amdahl model fitted in BENCH/SCALING_NOTES.md
-  (W ≈ 2.86 core-ms/page, F ≈ 36 s fixed per run);
+  default 1200 s): the crawl corpus is SIZED from the host's MEASURED
+  Amdahl constants — two cheap calibration crawls fit w (core-ms/page) and
+  F (fixed s/run) at bench time, because the shared host's throughput
+  swings >2× between sessions and a baked model over- or under-sizes;
+- the gate metric runs first: calibrate → size → crawl pair → politeness
+  leg → per-query timings, each later phase gated on remaining budget;
 - partial results are written to BENCH/partial.json after EVERY milestone
   (each query, each crawl leg), so even a hard kill leaves evidence on disk;
 - each crawl leg runs with a subprocess timeout bounded by the remaining
@@ -62,11 +65,11 @@ SENTENCES = 60  # ~9.5 KB html/page — realistic Common-Crawl-ish weight
 # host memory bus at the 4N leg and LOWERS scaling efficiency, 0.82 → 0.73)
 SEED_FRACTION = 4  # seeds = n_pages // SEED_FRACTION → 2 supersteps + drain
 MAX_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PAGES", "300000"))
-# below the floor W/F drops under ~10 and the ratio is noise
-MIN_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_PAGES", "120000"))
-# Amdahl model fitted from the round-2 measurements (SCALING_NOTES §3d/§3e):
-# lo-leg wall ≈ W_MS_PER_PAGE/1000 * pages / cores + F_FIXED_S, plus
-# ~SUB_OVERHEAD_S per subprocess (python+JVM start, corpus read, seeding).
+# Amdahl model: leg wall ≈ w·pages/cores + F, plus ~SUB_OVERHEAD_S per
+# subprocess (python+JVM start, corpus read, seeding). w and F are
+# CALIBRATED per run (run_calibration) because the shared host's effective
+# throughput swings >2× between sessions; the round-2 fitted constants
+# below are only the fallback when the probes fail.
 W_MS_PER_PAGE = 2.86
 F_FIXED_S = 36.0
 SUB_OVERHEAD_S = 35.0
@@ -223,13 +226,88 @@ def _prev_round_queries(sf: float) -> tuple[int | None, dict]:
     return (best[0], best[1]) if best else (None, {})
 
 
-def _size_pages(legs_budget_s: float, pairs: int = 1) -> int:
-    """Largest page count whose crawl pairs fit the given budget under the
-    fitted model: pair(p) = (1 + 1/4)·w·p + 2F + 2·overhead."""
-    per_pair_fixed = 2 * F_FIXED_S + 2 * SUB_OVERHEAD_S
-    w_s = W_MS_PER_PAGE / 1000.0
-    p = (legs_budget_s / pairs - per_pair_fixed) / (w_s * (1 / CORES_LO + 1 / CORES_HI))
-    return int(max(MIN_PAGES, min(MAX_PAGES, p)))
+def calibrate_worker(cores: int, work: str, robots_dir: str, out: str) -> None:
+    """Two crawl probes in ONE subprocess/JVM at *cores*: a near-zero-W probe
+    (≈F) and a medium probe (F + W(p1)) — together they fit the host's
+    ACTUAL per-page cost and fixed overhead. Run per bench invocation because
+    the shared host's effective throughput swings by >2× between sessions
+    (neighbor memory-bus load): round-2's baked constants undersized nothing,
+    but a 2.5×-slower host blew the round-3 budget until sizing became
+    measured-not-assumed."""
+    import time as _time
+
+    from ospo_ghcrawler_spark.config import CrawlConfig
+    from ospo_ghcrawler_spark.operators.engine import Crawler
+    from ospo_ghcrawler_spark.session import get_spark
+    from ospo_ghcrawler_spark.sources.corpus import page_url
+
+    spark = get_spark(f"crawl_cal_{cores}", cores=cores, shuffle_partitions=cores)
+    robots = spark.read.parquet(robots_dir)
+    walls = {}
+    for tag in ("cal0", "cal1"):
+        corpus = spark.read.parquet(f"{work}/{tag}")
+        n = corpus.count()
+        cfg = CrawlConfig(
+            batch_size=4 * n, host_budget=1 << 30, compute_budget_ms=1 << 40,
+            max_depth=64, frontier_partitions=2 * cores, bloom_shards=16,
+            bloom_bits_per_shard=1 << 23, collect_stats=False, expect_failures=False,
+        )
+        root = tempfile.mkdtemp(prefix=f"bench_cal_{tag}_", dir=WORKDIR_BASE)
+        try:
+            c = Crawler(spark, root, corpus, robots, cfg, run_id=tag)
+            c.seed([page_url(i, n, N_HOSTS, False) for i in range(n // SEED_FRACTION)])
+            t0 = _time.time()
+            c.run(max_supersteps=40)
+            walls[tag] = {"wall": _time.time() - t0, "pages": n}
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    with open(out, "w") as f:
+        json.dump(walls, f)
+
+
+def run_calibration(work: str, robots_dir: str, timeout_s: float) -> tuple[float, float, dict]:
+    """(w core-sec/page, F fixed-sec, raw walls) from the two probes at lo
+    cores; falls back to the round-2 constants on probe failure/noise."""
+    out = tempfile.mktemp(suffix=".json")
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--calibrate",
+        "--cores", str(CORES_LO), "--corpus", work, "--robots", robots_dir,
+        "--out", out,
+    ]
+    env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    fallback = (W_MS_PER_PAGE / 1000.0, F_FIXED_S, {})
+    try:
+        subprocess.run(
+            cmd, check=True, env=env, timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        with open(out) as f:
+            walls = json.load(f)
+    except (subprocess.SubprocessError, OSError, json.JSONDecodeError):
+        return fallback
+    w0, p0 = walls["cal0"]["wall"], walls["cal0"]["pages"]
+    w1, p1 = walls["cal1"]["wall"], walls["cal1"]["pages"]
+    if w1 <= w0 or p1 <= p0:  # probe noise — unusable fit
+        return fallback
+    w = CORES_LO * (w1 - w0) / (p1 - p0)  # core-sec per page
+    f = w0 - w * p0 / CORES_LO
+    # guards: w within [0.5×, 10×] of the round-2 fit; F in [10, 150]
+    w = min(max(w, W_MS_PER_PAGE / 2000.0), W_MS_PER_PAGE / 100.0)
+    f = min(max(f, 10.0), 150.0)
+    return w, f, walls
+
+
+def _size_pages(legs_budget_s: float, w: float, f: float) -> tuple[int, float]:
+    """(page count, target W core-sec) for the crawl pair, from the MEASURED
+    host model. The ratio needs W large relative to F in *time* units —
+    predict(W) = (W+F)/(W+4F) for the (1,4) pair — so the target is
+    W = 16F (predict ≈ 0.85) budget-permitting, floored only by what the
+    budget allows: pair wall = W·(1/lo + 1/hi) + 2F + 2·overhead."""
+    per_core = 1 / CORES_LO + 1 / CORES_HI
+    fit_W = (legs_budget_s - 2 * f - 2 * SUB_OVERHEAD_S) / per_core
+    target_W = min(16 * f, fit_W)
+    p = int(target_W / w)
+    return max(2000, min(MAX_PAGES, p)), target_W
 
 
 def main() -> None:
@@ -241,35 +319,55 @@ def main() -> None:
     partial: dict = {"phase": "start", "budget_s": BUDGET_S, "sf": sf}
     _write_partial(partial)
 
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
-
-    # ---- query timings FIRST (cheap, and evidence lands early) -------------
-    timings: dict[str, float] = {}
-    partial["phase"] = "queries"
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        Q.QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # per-op caches (shingle/signature passes) are scoped to one query:
-        # clear so timings stay cold-path honest and cached blocks don't leak
-        # across the loop (ADVICE r02)
-        spark.catalog.clearCache()
-        partial["queries"] = timings
-        _write_partial(partial)
-
-    # ---- size the crawl legs from the remaining budget ----------------------
     lo, hi = CORES_LO, CORES_HI
-    reserve = 95 + 15  # politeness leg + final report slack
-    build_est = 90.0
-    legs_budget = (_remaining() - reserve - build_est) * 0.95
-    n_pages = _size_pages(legs_budget)
-    forced_reps = os.environ.get("SPARK_GRAFT_BENCH_REPS")
-    partial.update({"phase": "corpus_build", "n_pages": n_pages})
+    timings: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix="bench_corpus_", dir=WORKDIR_BASE)
+    robots_dir = f"{work}/robots"
+
+    # ---- phase 1: host calibration ------------------------------------------
+    # the shared host's effective throughput swings >2× between sessions
+    # (neighbor memory-bus load measured 2026-08-17: identical code, 2.5×
+    # the round-2 per-page cost), so the corpus is sized from MEASURED
+    # constants, never the baked round-2 fit
+    partial["phase"] = "calibrate"
+    _write_partial(partial)
+    spark = get_spark("bench_build", cores=CPUS, shuffle_partitions=CPUS)
+    synth_robots(
+        spark, n_hosts=N_HOSTS, default_budget=1 << 30, crawl_delay_ms=0
+    ).write.mode("overwrite").parquet(robots_dir)
+    cal1_pages = min(12_000, MAX_PAGES)
+    cal0_pages = max(400, min(800, MAX_PAGES // 4))
+    for tag, n in (("cal0", cal0_pages), ("cal1", cal1_pages)):
+        synth_pages(
+            spark, n_pages=n, n_hosts=N_HOSTS, links_per_page=LINKS,
+            partitions=2 * CPUS, sentences=SENTENCES,
+        ).write.mode("overwrite").parquet(f"{work}/{tag}")
+    spark.stop()  # no concurrent JVM alongside any measured subprocess
+    w_cal, f_cal, cal_walls = run_calibration(
+        work, robots_dir, timeout_s=max(90.0, _remaining() * 0.5)
+    )
+    partial["calibration"] = {
+        "w_core_ms_per_page": round(w_cal * 1000, 3),
+        "f_fixed_s": round(f_cal, 1),
+        "host_slowdown_vs_round2": round(w_cal * 1000 / W_MS_PER_PAGE, 2),
+        "walls": cal_walls,
+    }
     _write_partial(partial)
 
-    # ---- corpus build (excluded from crawl timing) --------------------------
-    work = tempfile.mkdtemp(prefix="bench_corpus_", dir=WORKDIR_BASE)
-    corpus_dir, robots_dir = f"{work}/pages", f"{work}/robots"
+    # ---- phase 2: size + build the leg corpora ------------------------------
+    polite_est = 1.4 * (w_cal * N_POLITE / hi + f_cal) + SUB_OVERHEAD_S
+    build_est = 60.0
+    legs_budget = (_remaining() - polite_est - build_est - 45) * 0.95
+    n_pages, target_W = _size_pages(legs_budget, w_cal, f_cal)
+    degraded = target_W < 11 * f_cal  # ratio-validity floor (predict < 0.8)
+    forced_reps = os.environ.get("SPARK_GRAFT_BENCH_REPS")
+    partial.update(
+        {"phase": "corpus_build", "n_pages": n_pages, "degraded_budget": degraded}
+    )
+    _write_partial(partial)
+
+    spark = get_spark("bench_build2", cores=CPUS, shuffle_partitions=CPUS)
+    corpus_dir = f"{work}/pages"
     synth_pages(
         spark, n_pages=n_pages, n_hosts=N_HOSTS, links_per_page=LINKS,
         partitions=2 * CPUS, sentences=SENTENCES,
@@ -277,10 +375,6 @@ def main() -> None:
     # crawl_delay_ms=0: the throughput legs model hosts without a
     # Crawl-delay directive (a delay would cap the per-superstep budget via
     # effective_host_budget and flip the unbound fast path off)
-    synth_robots(
-        spark, n_hosts=N_HOSTS, default_budget=1 << 30, crawl_delay_ms=0
-    ).write.mode("overwrite").parquet(robots_dir)
-
     # second, smaller corpus for the politeness-BOUND leg (the unbound
     # headline trips the budget_unbound fast path by design; this leg keeps
     # the per-host window rank in the measured plan)
@@ -319,25 +413,14 @@ def main() -> None:
             return False
 
     try:
-        # ---- politeness-bound leg (window rank live in the plan) -------------
-        partial["phase"] = "crawl_polite"
-        _write_partial(partial)
-        try:
-            r_pol = run_crawl_subprocess(
-                hi, polite_dir, robots_dir, n_polite, polite=True,
-                timeout_s=max(60.0, _remaining() - 15),
-            )
-            timings["crawl_polite"] = round(r_pol["wall_sec"], 3)
-        except (subprocess.SubprocessError, OSError) as e:
-            errors.append(f"polite: {type(e).__name__}")
-
-        # ---- crawl at N and 4N cores ----------------------------------------
-        # Identical legs swing ±30-40% wall on this shared host (SCALING_NOTES
-        # §3b); with budget to spare, pairs repeat in palindrome order
-        # (hi,lo | lo,hi) and the best wall per leg is reported — min-of-N
-        # with EQUAL reps per side approximates the unloaded machine without
-        # biasing either leg. Every repetition must settle the identical URL
-        # set (determinism across parallelism AND across runs).
+        # ---- phase 3: the crawl pair (THE gate metric — runs before all
+        # nice-to-haves). Identical legs swing ±30-40% wall on this shared
+        # host (SCALING_NOTES §3b); with budget to spare, pairs repeat in
+        # palindrome order (hi,lo | lo,hi) and the best wall per leg is
+        # reported — min-of-N with EQUAL reps per side approximates the
+        # unloaded machine without biasing either leg. Every repetition must
+        # settle the identical URL set (determinism across parallelism AND
+        # across runs).
         partial["phase"] = "crawl_legs"
         _write_partial(partial)
         leg(hi, hi_runs, "hi_1") and leg(lo, lo_runs, "lo_1")
@@ -351,10 +434,47 @@ def main() -> None:
         while (
             len(lo_runs) < max_pairs
             and lo_runs and hi_runs
-            and _remaining() - 20 > pair_cost * 1.15
+            and _remaining() - polite_est - 90 > pair_cost * 1.15
         ):
             leg(lo, lo_runs, f"lo_{k}") and leg(hi, hi_runs, f"hi_{k}")
             k += 1
+
+        # ---- phase 4: politeness-bound leg (window rank live in the plan) ---
+        if _remaining() > polite_est + 45:
+            partial["phase"] = "crawl_polite"
+            _write_partial(partial)
+            try:
+                r_pol = run_crawl_subprocess(
+                    hi, polite_dir, robots_dir, n_polite, polite=True,
+                    timeout_s=max(60.0, _remaining() - 30),
+                )
+                timings["crawl_polite"] = round(r_pol["wall_sec"], 3)
+            except (subprocess.SubprocessError, OSError) as e:
+                errors.append(f"polite: {type(e).__name__}")
+        else:
+            errors.append("polite: skipped_budget")
+
+        # ---- phase 5: per-query timings (each gated on remaining budget) ----
+        partial["phase"] = "queries"
+        _write_partial(partial)
+        qspark = None
+        for name in BENCH_QUERIES:
+            if _remaining() < 60:
+                errors.append(f"queries: truncated_at_{name}")
+                break
+            if qspark is None:
+                qspark = get_spark("bench_queries", cores=CPUS, shuffle_partitions=CPUS)
+            t0 = time.time()
+            Q.QUERIES[name](qspark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+            # per-op caches (shingle/signature passes) are scoped to one
+            # query: clear so timings stay cold-path honest and cached
+            # blocks don't leak across the loop (ADVICE r02)
+            qspark.catalog.clearCache()
+            partial["queries"] = {k: v for k, v in timings.items()}
+            _write_partial(partial)
+        if qspark is not None:
+            qspark.stop()
 
         # ---- report ----------------------------------------------------------
         result: dict = {
@@ -387,6 +507,8 @@ def main() -> None:
                 "reps_per_leg": [len(lo_runs), len(hi_runs)],
                 "deterministic_across_parallelism": deterministic,
                 "rep_walls_sec": rep_walls,
+                "calibration": partial.get("calibration", {}),
+                "degraded_budget": degraded,
             }
         if r_pol is not None:
             result["crawl_polite"] = {
@@ -441,6 +563,11 @@ def _write_baseline_md(result: dict, prev_n: int | None, ctx: dict) -> None:
             f"(~{9.5 * SENTENCES / 60:.1f} KB html at {SENTENCES} sentences/page)",
             f"- seeds: {n_pages // SEED_FRACTION}; supersteps: {crawl['supersteps']}; "
             f"URLs fetched+deduped: {crawl['urls_settled']}",
+            f"- host calibration at bench time: "
+            f"w = {crawl.get('calibration', {}).get('w_core_ms_per_page', '?')} core-ms/page, "
+            f"F = {crawl.get('calibration', {}).get('f_fixed_s', '?')} s/run "
+            f"({crawl.get('calibration', {}).get('host_slowdown_vs_round2', '?')}× the "
+            "round-2 host speed; corpus sized from the measured constants)",
             "- fetch-time featurization ON (cfg.featurize_at_fetch: token/type/punct",
             "  counts, quality score, lang-id, content fingerprint — computed in the",
             "  harvest-write pass, all JVM expressions)",
@@ -515,8 +642,11 @@ if __name__ == "__main__":
     ap.add_argument("--pages", type=int)
     ap.add_argument("--out")
     ap.add_argument("--polite", action="store_true")
+    ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
-    if args.crawl_worker:
+    if args.calibrate:
+        calibrate_worker(args.cores, args.corpus, args.robots, args.out)
+    elif args.crawl_worker:
         crawl_worker(args.cores, args.corpus, args.robots, args.pages, args.out, args.polite)
     else:
         main()
