@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "dedup_exact", "minhash_lsh", "neardup_clusters", "clean_corpus",
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "winnow_fingerprint", "winnow_fingerprint_fast", "sample_stratified",
+    "repeated_ngrams", "repeated_ngram_scrub", "decontaminate", "pii_scrub",
+    "tfidf_top_terms",
     "embedding_topk", "ann_lsh", "ann_ivf",
     "binary_meta", "media_features",
 ]

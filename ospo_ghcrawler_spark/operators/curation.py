@@ -1,0 +1,211 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Beyond the reference's crawl surface (the reference stops at fetch/extract —
+see SURVEY.md §2), a 100-TB web corpus needs curation passes before
+training. These four are the standard ones, each expressed as pure
+DataFrame plans with exact DuckDB oracles:
+
+- :func:`repeated_ngrams` / :func:`repeated_ngram_scrub` — cross-document
+  duplicate n-gram detection and removal (Lee et al. 2022, "Deduplicating
+  Training Data Makes Language Models Better": repeated substrings are
+  memorized disproportionately; remove every token span that participates
+  in an n-gram occurring in >= min_docs distinct documents).
+- :func:`decontaminate` — eval-set overlap flagging (GPT-3 appendix C
+  style): any training document sharing an n-gram with a held-out
+  benchmark document is flagged with its hit count.
+- :func:`pii_scrub` — regex redaction of emails / IPv4s / phone numbers,
+  entirely JVM-side (``regexp_replace``), with a redaction count.
+
+Scale posture (100 TB): gram extraction is a zero-shuffle projection
+(higher-order array functions inside whole-stage codegen); the gram→count
+aggregation is ONE shuffle with map-side combine; the scrub join back to
+documents shuffles only the *duplicated* gram positions (dup-rate × corpus,
+not corpus); reassembly is again JVM array expressions. ``decontaminate``
+broadcasts the benchmark gram set (eval sets are small by construction) so
+the training side never shuffles. ``pii_scrub`` is a pure projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ospo_ghcrawler_spark.functions import text as TXT
+
+# email/IP/phone patterns restricted to the syntax subset shared by Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+PII_PATTERNS: list[tuple[str, str]] = [
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IPV4_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+]
+
+
+def _token_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, start, gram): all word-token n-grams with their 1-based
+    start position. Zero-shuffle: tokenization + windowing are array
+    expressions in one codegen span; the explode multiplies rows but not
+    stages."""
+    w = TXT.tokens(F.col("text"))
+    starts = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("int").alias("start"),
+            F.array_join(F.slice(w, i, n), " ").alias("gram"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram")
+    )
+
+
+def repeated_ngrams(docs: DataFrame, n: int = 5, min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated n-grams: every word n-gram that occurs in
+    at least *min_docs* distinct documents, with its document frequency and
+    total occurrence count.
+
+    One shuffle (gram groupBy, map-side combine); the gram space is bounded
+    by total corpus tokens, so partitions stay balanced under AQE without
+    salting (no gram is hotter than the corpus' most-duplicated sentence).
+    """
+    g = _token_grams(docs, n)
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def repeated_ngram_scrub(docs: DataFrame, n: int = 5, min_docs: int = 2) -> DataFrame:
+    """Remove every token covered by a cross-document duplicated n-gram
+    (Lee et al. 2022 removal semantics at word-token granularity): token
+    position p of a document is dropped iff some duplicated n-gram starts
+    at s with s <= p < s+n in that document.
+
+    Returns (doc_id, clean_md5, n_tokens_kept, n_tokens_removed) — the md5
+    is over the space-joined surviving tokens, so the result is
+    hash-comparable without shipping full texts.
+
+    Plan: grams (zero-shuffle projection) → dup-gram aggregate (shuffle 1)
+    → join positions of duplicated grams only (shuffle 2, sized by the
+    duplicate rate, not the corpus) → collect start lists per doc
+    (shuffle 3, same key — AQE coalesces) → reassembly as pure array
+    expressions. The full text column is scanned exactly once.
+    """
+    g = _token_grams(docs, n)
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    dup_starts = (
+        g.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_list("start").alias("starts"))
+    )
+    w = TXT.tokens(F.col("text"))
+    ss = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    # sequence(1, 0) DESCENDS in Spark — guard the empty-token case
+    positions = F.when(
+        F.size(w) >= 1, F.sequence(F.lit(1), F.size(w))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        positions,
+        lambda p: ~F.exists(ss, lambda s: (s <= p) & (p < s + n)),
+    )
+    clean = F.array_join(F.transform(kept, lambda p: F.element_at(w, p)), " ")
+    return (
+        docs.join(dup_starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.md5(F.encode(clean, "UTF-8")).alias("clean_md5"),
+            F.size(kept).cast("long").alias("n_tokens_kept"),
+            (F.size(w) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame, n: int = 8, eval_mod: int = 17
+) -> DataFrame:
+    """Benchmark-decontamination flags: documents whose ``doc_id % eval_mod
+    == 0`` form the held-out eval set; every *training* document sharing at
+    least one word n-gram with any eval document is returned with the count
+    of distinct contaminated grams.
+
+    The eval gram set is broadcast (eval sets are orders of magnitude
+    smaller than the corpus), so the training side is a map-side semi-join
+    — no shuffle of the 100-TB side; only the per-doc hit aggregation
+    shuffles, and only for flagged docs.
+    """
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    g_eval = (
+        _token_grams(docs.filter(is_eval), n).select("gram").distinct()
+    )
+    g_train = _token_grams(docs.filter(~is_eval), n)
+    return (
+        g_train.join(F.broadcast(g_eval), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+    )
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Regex PII redaction: emails → <EMAIL>, IPv4s → <IP>, phone numbers →
+    <PHONE>, applied in that order. Returns (doc_id, scrubbed_md5,
+    n_redactions); n_redactions counts matches of each pattern on the
+    ORIGINAL text (deterministic and engine-agnostic — sequential-replace
+    counts would depend on intermediate states).
+
+    Pure JVM projection: zero shuffle, codegen end-to-end, scales linearly
+    with no coordination."""
+    scrubbed = F.col("text")
+    n_red = F.lit(0)
+    for pat, repl in PII_PATTERNS:
+        n_red = n_red + F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 5) -> DataFrame:
+    """Corpus-composition analysis: per-source top-k terms by a tf-idf-style
+    score. idf uses the exact rational n_sources/df (not log) so the score
+    is deterministic integer-derived arithmetic, bit-equal across engines.
+
+    Two shuffles: (source, term) counts with map-side combine, then the
+    per-source top-k window; the term-df side is an aggregate over the
+    first shuffle's output (reuses its partitioning).
+    """
+    terms = docs.select(
+        "source", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n_src = docs.select("source").distinct().count()
+    from pyspark.sql import Window
+
+    scored = tf.join(df_, "term").select(
+        "source",
+        "term",
+        (F.col("tf") * F.lit(float(n_src)) / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("source", "term", "score", "rk")
+    )

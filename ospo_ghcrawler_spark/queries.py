@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ospo_ghcrawler_spark.functions import text as TXT
+from ospo_ghcrawler_spark.operators import curation as CU
 from ospo_ghcrawler_spark.operators import dedup_docs as DD
 from ospo_ghcrawler_spark.operators import multimodal as MM
 from ospo_ghcrawler_spark.operators import similarity as SIM
@@ -896,6 +897,150 @@ Q_WINNOW_FINGERPRINT_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# CU: corpus curation (repeated-ngram dedup, decontamination, PII, tf-idf)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 5  # repeated-ngram window (word tokens)
+DECON_N = 8  # decontamination gram width
+EVAL_MOD = 17  # doc_id % EVAL_MOD == 0 → held-out eval set
+
+_GRAM_SQL = """
+      SELECT doc_id, i AS start,
+             array_to_string(list_slice(w, i, i + {last}), ' ') AS gram
+      FROM (
+        SELECT doc_id, w,
+               unnest(range(1, greatest(len(w) - {n} + 2, 1))) AS i
+        FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS w
+              FROM documents)
+      )
+"""
+
+
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated word n-grams (Lee et al. 2022 detection
+    pass): gram → (distinct-doc frequency, total occurrences), kept when it
+    appears in ≥2 documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.repeated_ngrams(docs, n=NGRAM_N, min_docs=2)
+
+
+Q_REPEATED_NGRAMS_SQL = f"""
+    WITH g AS ({_GRAM_SQL.format(n=NGRAM_N, last=NGRAM_N - 1)})
+    SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+    FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q_repeated_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-ngram REMOVAL (Lee et al. 2022): drop every token covered
+    by a cross-document duplicated n-gram; result is hash-compared via the
+    md5 of the surviving token stream."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.repeated_ngram_scrub(docs, n=NGRAM_N, min_docs=2)
+
+
+Q_REPEATED_NGRAM_SCRUB_SQL = f"""
+    WITH g AS ({_GRAM_SQL.format(n=NGRAM_N, last=NGRAM_N - 1)}),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    ss AS (
+      SELECT g.doc_id, list(g.start) AS starts
+      FROM g JOIN dup USING (gram) GROUP BY g.doc_id
+    ),
+    toks AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS w
+             FROM documents),
+    scrub AS (
+      SELECT t.doc_id,
+             list_filter(
+               range(1, len(w) + 1),
+               p -> len(list_filter(coalesce(starts, []),
+                                    s -> s <= p AND p < s + {NGRAM_N})) = 0
+             ) AS kept,
+             w
+      FROM toks t LEFT JOIN ss ON ss.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           -- DuckDB array_to_string(...) is NULL on an empty list; Spark
+           -- array_join gives '' — coalesce for the fully-scrubbed case
+           md5(coalesce(
+             array_to_string(list_transform(kept, p -> w[CAST(p AS INT)]), ' '),
+             '')) AS clean_md5,
+           len(kept)::BIGINT AS n_tokens_kept,
+           (len(w) - len(kept))::BIGINT AS n_tokens_removed
+    FROM scrub
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination flags: training docs sharing a word
+    {DECON_N}-gram with the held-out set (doc_id % EVAL_MOD == 0), with the
+    count of distinct contaminated grams."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.decontaminate(docs, n=DECON_N, eval_mod=EVAL_MOD)
+
+
+Q_DECONTAMINATE_SQL = f"""
+    WITH g AS ({_GRAM_SQL.format(n=DECON_N, last=DECON_N - 1)}),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {EVAL_MOD} != 0)
+    SELECT doc_id, count(DISTINCT tr.gram) AS n_contaminated_grams
+    FROM tr JOIN ev USING (gram) GROUP BY doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/IPv4s/phones → tokens) as a zero-shuffle JVM
+    projection; the synthetic corpus contains no PII, so the oracle checks
+    regex-dialect parity on the identity path while
+    tests/test_curation.py pins the redaction behavior on planted PII."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.pii_scrub(docs)
+
+
+Q_PII_SCRUB_SQL = f"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{CU.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{CU.PII_IPV4_RE}', '<IP>', 'g'),
+                 '{CU.PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5,
+           (len(regexp_extract_all(text, '{CU.PII_EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{CU.PII_IPV4_RE}'))
+            + len(regexp_extract_all(text, '{CU.PII_PHONE_RE}')))::BIGINT
+             AS n_redactions
+    FROM documents
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 terms by tf-idf-style score (corpus-composition
+    analysis); idf is the exact rational n_sources/df so the score is
+    bit-deterministic across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.tfidf_top_terms(docs, top_k=TOPK)
+
+
+Q_TFIDF_TOP_TERMS_SQL = f"""
+    WITH terms AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT source, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT source) AS df FROM tf GROUP BY 1),
+    nsrc AS (SELECT count(DISTINCT source) AS n FROM documents),
+    scored AS (
+      SELECT source, term, tf * (SELECT CAST(n AS DOUBLE) FROM nsrc) / df AS score
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT source, term, score, rk FROM (
+      SELECT source, term, score,
+             row_number() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # S: similarity search over embeddings
 # ---------------------------------------------------------------------------
 
@@ -1085,6 +1230,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "winnow_fingerprint_fast": q_winnow_fingerprint_fast,
     "sample_stratified": q_sample_stratified,
+    # corpus curation
+    "repeated_ngrams": q_repeated_ngrams,
+    "repeated_ngram_scrub": q_repeated_ngram_scrub,
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "tfidf_top_terms": q_tfidf_top_terms,
     # similarity
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -1124,6 +1275,11 @@ ORACLES: dict[str, str] = {
     "fingerprint": Q_FINGERPRINT_SQL,
     "winnow_fingerprint": Q_WINNOW_FINGERPRINT_SQL,
     "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
+    "repeated_ngrams": Q_REPEATED_NGRAMS_SQL,
+    "repeated_ngram_scrub": Q_REPEATED_NGRAM_SCRUB_SQL,
+    "decontaminate": Q_DECONTAMINATE_SQL,
+    "pii_scrub": Q_PII_SCRUB_SQL,
+    "tfidf_top_terms": Q_TFIDF_TOP_TERMS_SQL,
     "embedding_topk": Q_EMBEDDING_TOPK_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "ann_ivf_exhaustive": Q_EMBEDDING_TOPK_SQL,  # nprobe=all ≡ brute force

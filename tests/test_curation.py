@@ -1,0 +1,111 @@
+"""Corpus-curation operators: repeated-ngram detect/remove, eval-set
+decontamination, PII scrubbing, tf-idf composition — behavior pinned on
+planted fixtures (the sf corpus parity is covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ospo_ghcrawler_spark.operators import curation as CU
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_repeated_ngrams_detects_cross_doc_only(spark):
+    # "a b c d e" appears in docs 0 and 1; doc 2 repeats its own gram twice
+    # (within-doc repetition alone must NOT flag: min_docs counts documents)
+    docs = _docs(spark, [
+        "a b c d e x y",
+        "z a b c d e",
+        "q w e r t q w e r t",
+    ])
+    out = {r["gram"]: (r["n_docs"], r["n_occ"])
+           for r in CU.repeated_ngrams(docs, n=5, min_docs=2).collect()}
+    assert out == {"a b c d e": (2, 2)}
+
+
+def test_repeated_ngram_scrub_removes_covered_tokens(spark):
+    docs = _docs(spark, [
+        "a b c d e x y",   # tokens 1-5 covered -> keep "x y"
+        "z a b c d e",     # tokens 2-6 covered -> keep "z"
+        "u v w",           # untouched
+    ])
+    out = {r["doc_id"]: r for r in
+           CU.repeated_ngram_scrub(docs, n=5, min_docs=2).collect()}
+    exp = {0: "x y", 1: "z", 2: "u v w"}
+    for i, clean in exp.items():
+        assert out[i]["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+    assert (out[0]["n_tokens_kept"], out[0]["n_tokens_removed"]) == (2, 5)
+    assert (out[1]["n_tokens_kept"], out[1]["n_tokens_removed"]) == (1, 5)
+    assert (out[2]["n_tokens_kept"], out[2]["n_tokens_removed"]) == (3, 0)
+
+
+def test_repeated_ngram_scrub_handles_short_and_empty_docs(spark):
+    docs = _docs(spark, ["a b", ""])
+    out = {r["doc_id"]: r for r in
+           CU.repeated_ngram_scrub(docs, n=5, min_docs=2).collect()}
+    assert out[0]["n_tokens_kept"] == 2 and out[0]["n_tokens_removed"] == 0
+    assert out[1]["n_tokens_kept"] == 0 and out[1]["n_tokens_removed"] == 0
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    # doc 0 is eval (0 % 17 == 0); doc 1 shares an 8-gram with it, doc 2
+    # doesn't; eval docs themselves are never flagged
+    shared = "one two three four five six seven eight"
+    docs = _docs(spark, [
+        shared + " tail",
+        "head " + shared,
+        "nothing in common with the eval set at all",
+    ])
+    out = {r["doc_id"]: r["n_contaminated_grams"]
+           for r in CU.decontaminate(docs, n=8, eval_mod=17).collect()}
+    assert out == {1: 1}
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = _docs(spark, [
+        "mail bob@example.com or alice.smith@corp.co.uk now",
+        "server at 192.168.1.1 port open",
+        "call +1 555-867-5309 or 555 123 4567 today",
+        "no pii here",
+    ])
+    out = {r["doc_id"]: r for r in CU.pii_scrub(docs).collect()}
+    assert out[0]["n_redactions"] == 2
+    assert out[1]["n_redactions"] == 1
+    assert out[2]["n_redactions"] == 2
+    assert out[3]["n_redactions"] == 0
+    assert out[1]["scrubbed_md5"] == hashlib.md5(
+        b"server at <IP> port open").hexdigest()
+    assert out[3]["scrubbed_md5"] == hashlib.md5(b"no pii here").hexdigest()
+
+
+def test_tfidf_top_terms_ranks_source_specific_terms_first(spark):
+    # 'apple' only in src0, 'banana' only in src1; 'common' everywhere.
+    # source-specific terms must outrank the shared one (idf = n_src/df).
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple common", "en", "src0", 18),
+            (1, "banana banana common", "en", "src1", 20),
+            (2, "common common cherry", "en", "src2", 20),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = CU.tfidf_top_terms(docs, top_k=1).collect()
+    top = {r["source"]: r["term"] for r in out}
+    assert top == {"src0": "apple", "src1": "banana", "src2": "cherry"}
+
+
+def test_scrub_plan_scans_text_once_and_is_jvm_only(spark):
+    """pii_scrub is a zero-shuffle pure projection (no Exchange, no
+    Python/Arrow eval in the plan)."""
+    docs = _docs(spark, ["x"]).select("doc_id", "text")
+    plan = CU.pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
