@@ -21,9 +21,18 @@ timeout with nothing parseable on stdout):
   leg → per-query timings, each later phase gated on remaining budget;
 - partial results are written to BENCH/partial.json after EVERY milestone
   (each query, each crawl leg), so even a hard kill leaves evidence on disk;
-- each crawl leg runs with a subprocess timeout bounded by the remaining
-  budget; a failed/timed-out leg yields a final JSON line with the failure
-  recorded instead of no line at all;
+- each crawl leg runs with a subprocess timeout bounded by the MODEL
+  estimate (2.5x + startup), not the whole remaining budget: this host's
+  neighbor noise was measured to spike a single leg ~10x (2026-08-17: a
+  17455-page hi leg ran >17 min during a spike, then 100 s — on-model —
+  when re-run), and an unbounded leg timeout lets one spike consume the
+  entire budget; a timed-out leg is RETRIED while the remaining budget
+  still fits the rest of the pair;
+- the crawl pair is sized against the WHOLE budget (no politeness/query
+  reserve): the politeness leg and per-query timings are post-legs
+  best-effort from the pair's slack — on a slow host the gate alone runs
+  (the politeness plan shape is pinned by tests), on a fast host
+  everything does;
 - legs run with EQUAL repetitions per side (min-of-N per side). An earlier
   protocol gave the fast leg an extra repetition, which biases the reported
   efficiency UPWARD (a faster best-of hi wall raises the ratio) — reps are
@@ -57,13 +66,23 @@ T_START = time.time()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1200"))
+# 1350 s default: the round-1 driver bench completed (rc 0) after well over
+# 1800 s of legs+queries, so the driver's kill timeout comfortably exceeds
+# 1400 s; 1350 + JVM shutdown stays inside it while giving the crawl pair
+# enough W for a ratio-valid (>= ~15F core-sec) corpus even on a 5x-slow host
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1350"))
 N_HOSTS = 200
 LINKS = 25
 SENTENCES = 60  # ~9.5 KB html/page — realistic Common-Crawl-ish weight
 # (80 sentences was measured: the heavier Arrow/write traffic saturates the
 # host memory bus at the 4N leg and LOWERS scaling efficiency, 0.82 → 0.73)
-SEED_FRACTION = 4  # seeds = n_pages // SEED_FRACTION → 2 supersteps + drain
+# seeds = n_pages // SEED_FRACTION. At 2, the 25-links/page expansion covers
+# the whole corpus from the seed set with near-certainty (miss probability
+# per page ≈ exp(-25/2) ≈ 4e-6), so the crawl completes in 2 fetch
+# supersteps + the empty-check — at 4 it left a ~0.2% tail that cost a
+# whole extra superstep of fixed overhead (measured: a 15-row tail step
+# burns the same ~6 jobs as a full one; fixed cost F fell ~30% at 2)
+SEED_FRACTION = 2
 MAX_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PAGES", "300000"))
 # Amdahl model: leg wall ≈ w·pages/cores + F, plus ~SUB_OVERHEAD_S per
 # subprocess (python+JVM start, corpus read, seeding). w and F are
@@ -72,7 +91,7 @@ MAX_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PAGES", "300000"))
 # below are only the fallback when the probes fail.
 W_MS_PER_PAGE = 2.86
 F_FIXED_S = 36.0
-SUB_OVERHEAD_S = 35.0
+SUB_OVERHEAD_S = 30.0  # measured 22-25 s this host (python+JVM start, reads)
 # N → 4N parallelism pair. Constraint measured on THIS host (pure-CPU
 # multiprocessing probe): per-thread throughput is flat up to ~8 active
 # threads, then falls ~8% at 16 and ~21% at 32 (host-level SMT/overcommit
@@ -83,7 +102,8 @@ SUB_OVERHEAD_S = 35.0
 CORES_LO = int(os.environ.get("SPARK_GRAFT_BENCH_LO", "1"))
 CORES_HI = int(os.environ.get("SPARK_GRAFT_BENCH_HI", "4"))
 WORKDIR_BASE = "/dev/shm" if os.path.isdir("/dev/shm") else None
-N_POLITE = 30_000
+N_POLITE = 12_000  # politeness-bound leg corpus (smaller: the leg proves the
+# window-rank plan lives in a measured job, not throughput — tests pin the plan)
 
 # queries timed at the bench SF (quadratic-pair ops excluded — they are
 # correctness-gated at sf0.01 by the driver instead)
@@ -124,7 +144,16 @@ def crawl_worker(
     from ospo_ghcrawler_spark.session import get_spark
     from ospo_ghcrawler_spark.sources.corpus import page_url
 
-    spark = get_spark(f"crawl_bench_{cores}", cores=cores, shuffle_partitions=cores)
+    # AQE off for the measured legs: adaptive execution materializes every
+    # exchange as its own query-stage job — measured 32-34 jobs/superstep
+    # with AQE vs 15-17 without at bench batch sizes, pure driver latency
+    # (the serial F that caps scaling efficiency). Superstep shuffles here
+    # are cores-partition micro-shuffles with nothing for AQE to re-plan;
+    # the warehouse-scale query path keeps AQE on (session.get_spark).
+    spark = get_spark(
+        f"crawl_bench_{cores}", cores=cores, shuffle_partitions=cores,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     corpus = spark.read.parquet(corpus_dir)
     robots = spark.read.parquet(robots_dir)
     if polite:
@@ -243,7 +272,11 @@ def calibrate_worker(cores: int, work: str, robots_dir: str, out: str) -> None:
     from ospo_ghcrawler_spark.session import get_spark
     from ospo_ghcrawler_spark.sources.corpus import page_url
 
-    spark = get_spark(f"crawl_cal_{cores}", cores=cores, shuffle_partitions=cores)
+    # same session conf as the measured legs (AQE off — see crawl_worker)
+    spark = get_spark(
+        f"crawl_cal_{cores}", cores=cores, shuffle_partitions=cores,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     robots = spark.read.parquet(robots_dir)
     walls = {}
     for tag in ("cal0", "cal1"):
@@ -293,8 +326,9 @@ def run_calibration(work: str, robots_dir: str, timeout_s: float) -> tuple[float
         return fallback
     w = CORES_LO * (w1 - w0) / (p1 - p0)  # core-sec per page
     f = w0 - w * p0 / CORES_LO
-    # guards: w within [0.5×, 10×] of the round-2 fit; F in [10, 150]
-    w = min(max(w, W_MS_PER_PAGE / 2000.0), W_MS_PER_PAGE / 100.0)
+    # guards: w within [0.5×, 25×] of the round-2 fit (5.3× measured on the
+    # 2026-08-17 host; leave headroom for worse neighbors); F in [10, 150]
+    w = min(max(w, W_MS_PER_PAGE / 2000.0), W_MS_PER_PAGE / 40.0)
     f = min(max(f, 10.0), 150.0)
     return w, f, walls
 
@@ -337,8 +371,11 @@ def main() -> None:
     synth_robots(
         spark, n_hosts=N_HOSTS, default_budget=1 << 30, crawl_delay_ms=0
     ).write.mode("overwrite").parquet(robots_dir)
-    cal1_pages = min(12_000, MAX_PAGES)
-    cal0_pages = max(400, min(800, MAX_PAGES // 4))
+    # small probes: the slope (w) needs two points, not a big crawl — a
+    # 12k-page cal1 cost 223 s on the 2026-08-17 slow host, budget that the
+    # ratio's W needs far more than the fit's precision does
+    cal1_pages = min(3_000, MAX_PAGES)
+    cal0_pages = max(400, min(500, MAX_PAGES // 4))
     for tag, n in (("cal0", cal0_pages), ("cal1", cal1_pages)):
         synth_pages(
             spark, n_pages=n, n_hosts=N_HOSTS, links_per_page=LINKS,
@@ -357,9 +394,18 @@ def main() -> None:
     _write_partial(partial)
 
     # ---- phase 2: size + build the leg corpora ------------------------------
+    # the GATE metric (the crawl pair) gets the whole budget minus fixed
+    # costs; the politeness leg and query timings are post-legs best-effort
+    # from whatever slack the pair leaves (on a fast host: all of them; on
+    # a 5x-slow host: the gate alone — its W is what the ratio's validity
+    # needs, and the politeness plan shape is already test-pinned)
     polite_est = 1.4 * (w_cal * N_POLITE / hi + f_cal) + SUB_OVERHEAD_S
     build_est = 60.0
-    legs_budget = (_remaining() - polite_est - build_est - 45) * 0.95
+    # 0.75 x: the pair is sized to leave ~a quarter of the budget as
+    # spike-fallback headroom (one half-size pair + its corpus build — see
+    # the phase-3 fallback loop); the politeness leg and query timings are
+    # best-effort from whatever the pair leaves
+    legs_budget = (_remaining() - build_est - 60) * 0.75
     n_pages, target_W = _size_pages(legs_budget, w_cal, f_cal)
     degraded = target_W < 11 * f_cal  # ratio-validity floor (predict < 0.8)
     forced_reps = os.environ.get("SPARK_GRAFT_BENCH_REPS")
@@ -395,14 +441,33 @@ def main() -> None:
     r_pol: dict | None = None
     errors: list[str] = []
 
-    def leg(cores: int, into: list[dict], label: str) -> bool:
-        t_leg = max(60.0, _remaining() - 15)
+    def leg_est(cores: int, pages: int) -> float:
+        return w_cal * pages / cores + f_cal + SUB_OVERHEAD_S
+
+    def pair_est(pages: int) -> float:
+        return leg_est(lo, pages) + leg_est(hi, pages)
+
+    def leg(cores: int, into: list[dict], label: str, pages: int, cdir: str) -> bool:
+        """One crawl leg. Both legs get MODEL-capped timeouts (host spikes
+        measured ~10x on 2026-08-17 — an uncapped leg lets one spike consume
+        the whole budget); the hi cap additionally reserves the lo leg's
+        expected time so a slow hi can never starve the pair. A timed-out
+        leg fails the PAIR ATTEMPT, and the caller falls back to a smaller
+        corpus (half the pages) — a completed smaller pair is evidence, an
+        absent full pair is none (BENCH_r02 rc=124)."""
+        budget_cap = max(60.0, _remaining() - 15)
+        if cores == hi:
+            reserve_lo = leg_est(lo, pages) * 1.1 + 20
+            t_leg = min(max(90.0, 2.5 * leg_est(cores, pages) + 30),
+                        max(90.0, budget_cap - reserve_lo))
+        else:
+            t_leg = min(max(90.0, 2.2 * leg_est(cores, pages) + 30), budget_cap)
         try:
             into.append(
-                run_crawl_subprocess(cores, corpus_dir, robots_dir, n_pages, timeout_s=t_leg)
+                run_crawl_subprocess(cores, cdir, robots_dir, pages, timeout_s=t_leg)
             )
             partial.setdefault("legs", []).append(
-                {"label": label, "cores": cores, **{
+                {"label": label, "cores": cores, "pages": pages, **{
                     k: into[-1][k] for k in ("wall_sec", "urls_settled", "urls_per_sec")
                 }}
             )
@@ -414,6 +479,18 @@ def main() -> None:
             _write_partial(partial)
             return False
 
+    def build_corpus(pages: int, tag: str) -> str:
+        """Synth a leg corpus (no session may outlive the build — the
+        noisy-host protocol keeps measured legs alone in the machine)."""
+        bs = get_spark(f"bench_build_{tag}", cores=CPUS, shuffle_partitions=CPUS)
+        d = f"{work}/pages_{tag}"
+        synth_pages(
+            bs, n_pages=pages, n_hosts=N_HOSTS, links_per_page=LINKS,
+            partitions=2 * CPUS, sentences=SENTENCES,
+        ).write.mode("overwrite").parquet(d)
+        bs.stop()
+        return d
+
     try:
         # ---- phase 3: the crawl pair (THE gate metric — runs before all
         # nice-to-haves). Identical legs swing ±30-40% wall on this shared
@@ -423,9 +500,29 @@ def main() -> None:
         # unloaded machine without biasing either leg. Every repetition must
         # settle the identical URL set (determinism across parallelism AND
         # across runs).
+        #
+        # Spike fallback: a failed attempt (either leg timed out) HALVES the
+        # corpus and retries on the smaller one while budget remains —
+        # trading W (ratio headroom) for completion. Mixed-size runs never
+        # mix: the reported pair is whichever size completed.
         partial["phase"] = "crawl_legs"
         _write_partial(partial)
-        leg(hi, hi_runs, "hi_1") and leg(lo, lo_runs, "lo_1")
+        cur_n, cur_dir = n_pages, corpus_dir
+        while True:
+            if leg(hi, hi_runs, f"hi_p{cur_n}", cur_n, cur_dir) and leg(
+                lo, lo_runs, f"lo_p{cur_n}", cur_n, cur_dir
+            ):
+                break
+            nxt = cur_n // 2
+            if nxt < 2000 or _remaining() < pair_est(nxt) * 1.2 + build_est + 45:
+                break
+            hi_runs.clear()
+            lo_runs.clear()
+            cur_dir = build_corpus(nxt, f"fb{nxt}")
+            cur_n = nxt
+            partial.setdefault("fallbacks", []).append(cur_n)
+            _write_partial(partial)
+        n_pages = cur_n  # reported corpus size = the completed pair's
         pair_cost = (
             (lo_runs[-1]["wall_sec"] + hi_runs[-1]["wall_sec"] + 2 * SUB_OVERHEAD_S)
             if lo_runs and hi_runs
@@ -436,10 +533,18 @@ def main() -> None:
         while (
             len(lo_runs) < max_pairs
             and lo_runs and hi_runs
-            and _remaining() - polite_est - 90 > pair_cost * 1.15
+            and _remaining() - 90 > pair_cost * 1.15
         ):
-            leg(lo, lo_runs, f"lo_{k}") and leg(hi, hi_runs, f"hi_{k}")
+            leg(lo, lo_runs, f"lo_p{cur_n}_{k}", cur_n, cur_dir) and leg(
+                hi, hi_runs, f"hi_p{cur_n}_{k}", cur_n, cur_dir
+            )
             k += 1
+        # strictly EQUAL reps per side (ADVICE r02: asymmetric min-of-N
+        # biases the ratio): a rep whose partner failed is dropped
+        m = min(len(lo_runs), len(hi_runs))
+        del lo_runs[m:], hi_runs[m:]
+        # a fallback pair may have landed below the ratio-validity floor
+        degraded = bool(degraded or (lo_runs and w_cal * n_pages < 11 * f_cal))
 
         # ---- phase 4: politeness-bound leg (window rank live in the plan) ---
         if _remaining() > polite_est + 45:

@@ -16,6 +16,11 @@ from dataclasses import dataclass, field, replace
 # {events: 10, immediate: 3, soon: 2, normal: 3, later: 2}
 DEFAULT_WEIGHTS: dict[int, int] = {0: 10, 1: 3, 2: 2, 3: 3, 4: 2}
 
+# compute_budget_ms at or above this sentinel means "limiter unbound": the
+# engine skips the per-superstep benches aggregation + broadcast join
+# entirely (it provably cannot bind) — throughput benches set 1 << 40
+COMPUTE_BUDGET_UNBOUND = 1 << 39
+
 PRIORITY_EVENTS = 0
 PRIORITY_IMMEDIATE = 1
 PRIORITY_SOON = 2

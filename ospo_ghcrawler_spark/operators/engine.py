@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ospo_ghcrawler_spark.config import PRIORITY_NORMAL, CrawlConfig
+from ospo_ghcrawler_spark.config import (
+    COMPUTE_BUDGET_UNBOUND,
+    PRIORITY_NORMAL,
+    CrawlConfig,
+)
 from ospo_ghcrawler_spark.functions.extract import extract_pages_map_in_pandas
 from ospo_ghcrawler_spark.functions.urls import canonicalize_udf, host_col
 from ospo_ghcrawler_spark.operators.dedup import (
@@ -314,20 +318,28 @@ class Crawler:
                 self._next_frontier = None
             frontier = frontier_t.read().cache()
             self._nf_depth = 0
-        if cfg.bench_supersteps <= 1 and self._last_metrics is not None:
-            metrics_prev = self._last_metrics
+        if cfg.compute_budget_ms >= COMPUTE_BUDGET_UNBOUND:
+            # compute limiter provably cannot bind (budget set to the
+            # unbound sentinel) — skip the benches aggregation + broadcast
+            # join entirely: one fewer job per superstep, and the selection
+            # plan stays a pure frontier scan (throughput-bench fast path,
+            # mirrors selection's budget_unbound fast path)
+            eligible_frontier = frontier
         else:
-            self._await_pending()
-            metrics_prev = self.catalog.table("metrics").read()
-        benches = compute_limiter_benches(metrics_prev, cfg, step)
-        eligible_frontier = (
-            frontier.join(F.broadcast(benches), on="host", how="left")
-            .withColumn(
-                "not_before_step",
-                F.greatest("not_before_step", F.coalesce("bench_until", F.lit(0))),
+            if cfg.bench_supersteps <= 1 and self._last_metrics is not None:
+                metrics_prev = self._last_metrics
+            else:
+                self._await_pending()
+                metrics_prev = self.catalog.table("metrics").read()
+            benches = compute_limiter_benches(metrics_prev, cfg, step)
+            eligible_frontier = (
+                frontier.join(F.broadcast(benches), on="host", how="left")
+                .withColumn(
+                    "not_before_step",
+                    F.greatest("not_before_step", F.coalesce("bench_until", F.lit(0))),
+                )
+                .drop("bench_until")
             )
-            .drop("bench_until")
-        )
         selected, n_selected, max_wake = select_batch(
             eligible_frontier, self.host_budgets, cfg, step, min_host_budget=self._min_budget
         )
@@ -484,6 +496,7 @@ class Crawler:
         # barrier: last step's seen/bloom commits must be visible before
         # dedup (their writes overlapped this step's select+fetch+extract)
         self._await_pending()
+        _mark("barrier")
         seen = seen_t.read()
         if self.bloom is not None and self._bloom_bc is None:
             self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom.bitmaps)
@@ -766,7 +779,7 @@ class Crawler:
         else:
             _commit_rest()
             self._next_frontier = None
-        _mark("w_tables")
+        _mark("commit_submit")
 
         if debug_timing:
             deltas = []
