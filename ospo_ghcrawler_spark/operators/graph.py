@@ -1,0 +1,127 @@
+"""Link-graph analytics over a crawled corpus.
+
+A production crawler ranks its frontier by link centrality (the reference
+ranks by queue tier + attenuation only — `providers/queuing/attenuatedQueue.js`
+has no link-graph signal; this is a beyond-reference, first-class engine op
+per SURVEY.md §2.8): PageRank over the harvested link graph is the standard
+prioritization/quality signal for both recrawl scheduling and
+training-corpus document weighting.
+
+Determinism contract: ranks are computed in **fixed-point integer
+arithmetic** (scale 1e9, damping 85/100, floor division at every step) so
+the result is bit-exact — independent of partitioning, summation order, and
+engine — and therefore hash-comparable against a SQL oracle, unlike
+float PageRank whose low bits depend on reduction order.
+
+Scale posture (100 TB / 10^10-node web graph): each iteration is
+  (1) a per-node share projection (rank div out-degree) — zero shuffle,
+  (2) one join edges⋈shares on src — shuffles the EDGE table on src once
+      per iteration (or zero times if edges are pre-bucketed by src),
+  (3) one groupBy dst sum — map-side combined,
+  (4) a left join back onto the node set for dangling nodes.
+The node-sized intermediates are K small tables; nothing is ever collected
+to the driver except the O(1) node count. For many iterations, callers
+should `localCheckpoint` ranks every few rounds to keep the plan
+constant-size (same pattern as dedup_docs.neardup label propagation);
+the default K=3 keeps the unrolled plan shallow enough without it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Fixed-point scale and damping (85/100 ≡ 0.85) — integers only, so every
+# engine computes the identical bit pattern.
+PR_SCALE = 1_000_000_000
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+PR_TELEPORT = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # 150e6
+
+# Synthetic-edge constants (LCG-style mix — plain BIGINT arithmetic so the
+# SQL oracle can replicate the graph exactly; doc_ids are dense [0, N)).
+EDGE_A = 1_103_515_245
+EDGE_C = 12_345
+EDGE_J = 97_003
+EDGE_FANOUT = 4
+
+
+def synthetic_link_edges(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Deterministic pseudo-random link graph over dense doc_ids [0, N):
+    each document links to EDGE_FANOUT targets
+    ``(doc_id*A + C + j*J) mod N``, self-loops dropped (multi-edges kept —
+    both sides of the oracle count them identically).
+
+    The arithmetic stays within int64 for any realistic N (N·A ≈ 1e9·1e9
+    would overflow — at that scale a real crawl supplies real edges and this
+    synthetic generator is moot). Returns (src, dst)."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(EDGE_FANOUT)])).alias("j")
+    e = docs.select(F.col("doc_id").alias("src"), j).select(
+        "src",
+        (
+            (F.col("src") * F.lit(EDGE_A) + F.lit(EDGE_C) + F.col("j") * F.lit(EDGE_J))
+            % F.lit(n_docs)
+        ).alias("dst"),
+    )
+    return e.filter(F.col("dst") != F.col("src"))
+
+
+def pagerank_fixed_point(
+    nodes: DataFrame, edges: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Fixed-point integer PageRank: rank_0 = PR_SCALE for every node;
+    rank_{i+1} = TELEPORT + (85 · Σ_in floor(rank_i / outdeg)) div 100.
+
+    *nodes* must have a ``doc_id`` column (the universe — dangling nodes
+    keep the teleport mass); *edges* (src, dst) with src ∈ nodes.
+    Returns (doc_id, rank_fp) with rank_fp a bigint at scale 1e9.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ids = nodes.select("doc_id")
+    ranks = ids.withColumn("rank_fp", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iterations):
+        shares = ranks.join(deg, ranks.doc_id == deg.src, "inner").select(
+            F.col("src"),
+            F.expr("rank_fp div outdeg").alias("share"),
+        )
+        in_sum = (
+            edges.join(shares, "src")
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = ids.join(in_sum, ids.doc_id == in_sum.dst, "left").select(
+            "doc_id",
+            (
+                F.lit(PR_TELEPORT)
+                + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0L)) div {PR_DAMP_DEN}")
+            ).cast("long").alias("rank_fp"),
+        )
+    return ranks
+
+
+def pagerank_sql(iterations: int = 3) -> str:
+    """The exact-replica ANSI-SQL oracle (DuckDB dialect: ``//`` floor
+    division on positive ints ≡ Spark ``div``) — same graph, same
+    fixed-point recurrence, unrolled to *iterations*."""
+    edge_terms = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{EDGE_A} + {EDGE_C} + {j}*{EDGE_J}) % "
+        f"(SELECT c FROM n) AS dst FROM documents"
+        for j in range(EDGE_FANOUT)
+    )
+    sql = f"""
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    edges AS (SELECT src, dst FROM ({edge_terms}) WHERE src <> dst),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS rank_fp FROM documents)"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+    s{i} AS (SELECT e.dst, SUM(r.rank_fp // g.outdeg) AS s
+             FROM edges e JOIN {prev} r ON e.src = r.doc_id
+             JOIN deg g ON e.src = g.src GROUP BY e.dst),
+    r{i} AS (SELECT d.doc_id,
+                    CAST({PR_TELEPORT} + ({PR_DAMP_NUM} * COALESCE(s.s, 0)) // {PR_DAMP_DEN}
+                         AS BIGINT) AS rank_fp
+             FROM documents d LEFT JOIN s{i} s ON d.doc_id = s.dst)"""
+        prev = f"r{i}"
+    return sql + f"\n    SELECT doc_id, rank_fp FROM {prev}"

@@ -1040,6 +1040,68 @@ Q_TFIDF_TOP_TERMS_SQL = f"""
 """
 
 
+SHARD_BUDGET_TOKENS = 2000  # tokens per training shard (packing query)
+
+
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing in doc_id order — the Spark side is a
+    two-level prefix sum (bucketed window + broadcast offsets, see
+    operators/curation.py:shard_pack); the oracle is the textbook global
+    window cumsum, which DuckDB can afford at sf0.01."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.shard_pack(docs, SHARD_BUDGET_TOKENS)
+
+
+Q_SHARD_PACK_SQL = f"""
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / {SHARD_BUDGET_TOKENS}.0
+           ) AS INTEGER) AS shard_id
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+      FROM documents
+    )
+"""
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, source) composition report for training-mix design."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.corpus_mix(docs)
+
+
+Q_CORPUS_MIX_SQL = """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS doc_share
+    FROM documents GROUP BY 1, 2
+"""
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over a deterministic synthetic link
+    graph on the documents table (operators/graph.py) — the frontier-
+    prioritization / document-weighting signal; integer arithmetic makes the
+    ranks bit-exact against the unrolled SQL recurrence."""
+    from ospo_ghcrawler_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = G.synthetic_link_edges(docs, n)
+    return G.pagerank_fixed_point(docs, edges, iterations=3)
+
+
+def _link_pagerank_sql() -> str:
+    from ospo_ghcrawler_spark.operators import graph as G
+
+    return G.pagerank_sql(iterations=3)
+
+
 # ---------------------------------------------------------------------------
 # S: similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1236,6 +1298,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "shard_pack": q_shard_pack,
+    "corpus_mix": q_corpus_mix,
+    "link_pagerank": q_link_pagerank,
     # similarity
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -1280,6 +1345,9 @@ ORACLES: dict[str, str] = {
     "decontaminate": Q_DECONTAMINATE_SQL,
     "pii_scrub": Q_PII_SCRUB_SQL,
     "tfidf_top_terms": Q_TFIDF_TOP_TERMS_SQL,
+    "shard_pack": Q_SHARD_PACK_SQL,
+    "corpus_mix": Q_CORPUS_MIX_SQL,
+    "link_pagerank": _link_pagerank_sql(),
     "embedding_topk": Q_EMBEDDING_TOPK_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "ann_ivf_exhaustive": Q_EMBEDDING_TOPK_SQL,  # nprobe=all ≡ brute force

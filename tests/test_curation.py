@@ -109,3 +109,53 @@ def test_scrub_plan_scans_text_once_and_is_jvm_only(spark):
     plan = CU.pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_shard_pack_boundary_semantics(spark):
+    # 4 docs of 3 tokens each, budget 5: prefix sums before each doc are
+    # 0,3,6,9 → shards 0,0,1,1 (a doc straddling a boundary stays in the
+    # shard its first token falls in)
+    docs = _docs(spark, ["a b c", "d e f", "g h i", "j k l"])
+    out = {r["doc_id"]: r["shard_id"]
+           for r in CU.shard_pack(docs, 5).collect()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_shard_pack_invariant_to_bucket_count_and_sparse_ids(spark):
+    # sparse, non-dense doc_ids; the assignment must be a pure function of
+    # (order, tokens, budget) — identical for every bucketing width,
+    # including more buckets than rows and a single bucket (the naive
+    # global-window plan it replaces)
+    rows = [(i * 97 + 13, "w " * (i % 7 + 1), "en", "s", 1) for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    expected = None
+    for nb in (1, 3, 64):
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["shard_id"])
+            for r in CU.shard_pack(docs, 10, n_buckets=nb).collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, f"n_buckets={nb} changed the packing"
+    # cross-check against a driver-side sequential pack
+    seq = sorted((r[0], len(r[1].split())) for r in rows)
+    acc, want = 0, {}
+    for did, nt in seq:
+        want[did] = acc // 10
+        acc += nt
+    assert {d: s for d, _, s in expected} == want
+
+
+def test_shard_pack_empty_corpus(spark):
+    docs = _docs(spark, []).filter(F.lit(False))
+    assert CU.shard_pack(docs, 10).count() == 0
+
+
+def test_corpus_mix_shares_sum_to_one(spark):
+    docs = _docs(spark, ["a b c", "d e", "f", "g h i j"])
+    out = CU.corpus_mix(docs).collect()
+    assert abs(sum(r["doc_share"] for r in out) - 1.0) < 1e-12
+    assert sum(r["n_docs"] for r in out) == 4
+    assert sum(r["total_tokens"] for r in out) == 10
