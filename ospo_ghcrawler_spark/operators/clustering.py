@@ -1,0 +1,225 @@
+"""K-means corpus clustering over the embeddings table — JVM-only Lloyd.
+
+Corpus diversification for training-data pipelines (cluster-balanced
+sampling, near-dup pruning inside clusters) needs k-means over an
+embedding column. This is the DataFrame-native form:
+
+- **state is O(k·dim) on the driver** (k centroids), exactly like the
+  IVF probe path (similarity.py): each Lloyd iteration collects k rows
+  of (count, 64 sums) — never data rows;
+- **assignment is whole-stage-codegen JVM arithmetic**: the distance to
+  each centroid is an explicit fixed-order fold over the array elements
+  (no Python UDF, no explode — the 100-TB side is scanned once per
+  iteration with a map-side-combined groupBy as the only shuffle);
+- **determinism**: init centroids are the embeddings of the k smallest
+  ids; per-dim centroid updates are round(sum/count, 6), absorbing
+  FP summation-order noise so assignments are parallelism-invariant;
+  argmin ties break toward the smaller cluster id.
+
+The oracle (:func:`kmeans_sql`) is the same recurrence unrolled
+relationally in ANSI SQL: a k-row centroid CTE per iteration, assignment
+via a points × centroids join + row_number — O(N·k) at sf0.01, never the
+scale path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K_DEFAULT = 4
+ITER_DEFAULT = 2
+DIM_DEFAULT = 64
+
+
+def _dist2_col(vec_col: str, cent: list[float], dim: int):
+    """Σ_d (v[d] - c_d)² as an explicit left-to-right chain — the SAME
+    association order the generated oracle SQL uses, so both engines run
+    the identical IEEE expression."""
+    terms = []
+    for d in range(dim):
+        x = F.col(vec_col).getItem(d).cast("double") - F.lit(float(cent[d]))
+        terms.append(x * x)
+    return reduce(lambda a, b: a + b, terms)
+
+
+def _assign(df: DataFrame, cents: list[list[float]], vec_col: str, dim: int):
+    """cluster_id = argmin over centroids, ties to the smaller id —
+    array_min over (dist, cid) structs compares fields in order."""
+    pairs = F.array(
+        *[
+            F.struct(
+                _dist2_col(vec_col, c, dim).alias("d"),
+                F.lit(i).cast("bigint").alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    return df.withColumn("cluster_id", F.array_min(pairs).getField("cid"))
+
+
+def kmeans_assign(
+    embs: DataFrame,
+    k: int = K_DEFAULT,
+    iterations: int = ITER_DEFAULT,
+    dim: int = DIM_DEFAULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster_id) after *iterations* Lloyd steps from deterministic
+    seeds (the k smallest ids' embeddings)."""
+    spark = embs.sparkSession
+    init_rows = (
+        embs.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in init_rows]
+    for _ in range(iterations):
+        assigned = _assign(embs, cents, vec_col, dim)
+        upd = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col(vec_col).getItem(d).cast("double")).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .select(
+                "cluster_id",
+                "n",
+                *[
+                    F.round(F.col(f"s{d}") / F.col("n"), 6).alias(f"c{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = {int(r["cluster_id"]): [r[f"c{d}"] for d in range(dim)] for r in upd}
+        # empty cluster keeps its previous centroid (matches the oracle's
+        # LEFT JOIN + COALESCE per dim)
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return _assign(embs, cents, vec_col, dim).select(
+        F.col(id_col), F.col("cluster_id")
+    )
+
+
+def _sql_dist2(vec_expr: str, cent_prefix: str, dim: int) -> str:
+    terms = [
+        f"(({vec_expr}[{d + 1}]::DOUBLE) - {cent_prefix}c{d}) * "
+        f"(({vec_expr}[{d + 1}]::DOUBLE) - {cent_prefix}c{d})"
+        for d in range(dim)
+    ]
+    return " + ".join(terms)
+
+
+def kmeans_sql(
+    k: int = K_DEFAULT,
+    iterations: int = ITER_DEFAULT,
+    dim: int = DIM_DEFAULT,
+) -> str:
+    """The identical recurrence unrolled in ANSI SQL (DuckDB 1-indexed
+    lists): centroids as a k-row CTE with one column per dim, assignment
+    via cross join + row_number, update via round(sum/count, 6), empty
+    clusters keeping the prior centroid via LEFT JOIN + COALESCE."""
+    init_dims = ", ".join(
+        f"embedding[{d + 1}]::DOUBLE AS c{d}" for d in range(dim)
+    )
+    sql = [
+        f"""WITH cent0 AS (
+          SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cluster_id,
+                 {init_dims}
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+        )"""
+    ]
+    prev = "cent0"
+    for it in range(1, iterations + 1):
+        dist = _sql_dist2("e.embedding", "c.", dim)
+        upd_dims = ", ".join(
+            f"round(sum(embedding[{d + 1}]::DOUBLE) / count(*), 6) AS c{d}"
+            for d in range(dim)
+        )
+        keep_dims = ", ".join(
+            f"COALESCE(u.c{d}, p.c{d}) AS c{d}" for d in range(dim)
+        )
+        sql.append(f""", asg{it} AS (
+          SELECT vec_id, embedding, cluster_id FROM (
+            SELECT e.vec_id, e.embedding, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {dist}, c.cluster_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN {prev} c
+          ) WHERE rn = 1
+        ), upd{it} AS (
+          SELECT cluster_id, {upd_dims}
+          FROM asg{it}
+          GROUP BY cluster_id
+        ), cent{it} AS (
+          SELECT p.cluster_id, {keep_dims}
+          FROM {prev} p LEFT JOIN upd{it} u USING (cluster_id)
+        )""")
+        prev = f"cent{it}"
+    dist = _sql_dist2("e.embedding", "c.", dim)
+    sql.append(f"""
+        SELECT vec_id, cluster_id FROM (
+          SELECT e.vec_id, c.cluster_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {dist}, c.cluster_id
+                 ) AS rn
+          FROM embeddings e CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    """)
+    return "\n".join(sql)
+
+
+CLUSTER_SAMPLE_CAP = 40
+
+
+def cluster_sample(
+    embs: DataFrame,
+    cap: int = CLUSTER_SAMPLE_CAP,
+    k: int = K_DEFAULT,
+    iterations: int = ITER_DEFAULT,
+    dim: int = DIM_DEFAULT,
+) -> DataFrame:
+    """Cluster-balanced downsample: k-means assignment, then keep the first
+    *cap* vectors per cluster by a stable id-hash rank (the same RNG-free
+    device as the stratified sampler — identical at any parallelism and in
+    the oracle). The curation move this implements: cap every semantic
+    cluster so no dominant content mode floods the training mix
+    (diversity-preserving subsampling). One extra shuffle (the per-cluster
+    window) on top of the assignment scan."""
+    from pyspark.sql import Window
+
+    a = kmeans_assign(embs, k=k, iterations=iterations, dim=dim)
+    h = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
+    w = Window.partitionBy("cluster_id").orderBy(h, "vec_id")
+    return (
+        a.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("vec_id", "cluster_id", "rk")
+    )
+
+
+def cluster_sample_sql(
+    cap: int = CLUSTER_SAMPLE_CAP,
+    k: int = K_DEFAULT,
+    iterations: int = ITER_DEFAULT,
+    dim: int = DIM_DEFAULT,
+) -> str:
+    """kmeans_sql as a derived table + the same md5-rank window."""
+    return f"""
+    SELECT vec_id, cluster_id, rk FROM (
+      SELECT vec_id, cluster_id,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rk
+      FROM ({kmeans_sql(k=k, iterations=iterations, dim=dim)}) a
+    ) WHERE rk <= {cap}
+    """

@@ -125,3 +125,61 @@ def pagerank_sql(iterations: int = 3) -> str:
              FROM documents d LEFT JOIN s{i} s ON d.doc_id = s.dst)"""
         prev = f"r{i}"
     return sql + f"\n    SELECT doc_id, rank_fp FROM {prev}"
+
+
+# Block-chain CC test graph: undirected edges (i, i+1) inside blocks of
+# CC_BLOCK consecutive doc_ids — many components of known diameter
+# (CC_BLOCK-1), so the propagation loop is genuinely exercised over
+# multiple rounds while the DuckDB recursive-closure oracle stays cheap.
+CC_BLOCK = 16
+
+
+def chain_link_edges(docs: DataFrame, block: int = CC_BLOCK) -> DataFrame:
+    """Deterministic chain edges (a_id, b_id) = (i, i+1) within each block
+    of *block* consecutive doc_ids. Components are the blocks; diameter is
+    block-1, which forces the hash-min loop through O(diameter) rounds —
+    the worst component shape for label propagation (a star converges in
+    one round; a chain is the slow case worth pinning)."""
+    e = docs.select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + 1).cast("long").alias("b_id"),
+    )
+    return e.filter(F.col("b_id") % F.lit(block) != 0).join(
+        docs.select(F.col("doc_id").alias("b_id")), "b_id", "left_semi"
+    )
+
+
+def link_components(docs: DataFrame, block: int = CC_BLOCK) -> DataFrame:
+    """(doc_id, cluster_rep) — connected components of the chain link
+    graph via the same hash-min label propagation the near-dup clusterer
+    uses (dedup_docs.neardup_clusters: O(diameter) rounds over the paired
+    subgraph only, O(1) convergence aggregate, constant-size plans). Link
+    CC is the domain-level curation primitive (mirror/spam cluster
+    collapse) that complements content-level near-dup CC."""
+    from ospo_ghcrawler_spark.operators.dedup_docs import neardup_clusters
+
+    return neardup_clusters(docs, chain_link_edges(docs, block))
+
+
+def link_components_sql(block: int = CC_BLOCK) -> str:
+    """Recursive-closure oracle: min reachable doc_id per node over the
+    identical chain edge set."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT d.doc_id AS a_id, d.doc_id + 1 AS b_id
+      FROM documents d JOIN documents t ON t.doc_id = d.doc_id + 1
+      WHERE (d.doc_id + 1) % {block} <> 0
+    ),
+    e AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    )
+    SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
+    FROM reach GROUP BY a
+    """

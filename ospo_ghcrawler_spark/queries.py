@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ospo_ghcrawler_spark.functions import text as TXT
 from ospo_ghcrawler_spark.operators import curation as CU
 from ospo_ghcrawler_spark.operators import dedup_docs as DD
+from ospo_ghcrawler_spark.operators import events as EV
 from ospo_ghcrawler_spark.operators import multimodal as MM
 from ospo_ghcrawler_spark.operators import similarity as SIM
 
@@ -1103,6 +1104,75 @@ def _link_pagerank_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# E: event-stream analytics (sessionization / as-of) over the events table
+# ---------------------------------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/events.py) — one shuffle on
+    user_id, per-partition window scan; parallelism-invariant ids."""
+    return EV.sessionize(_t(spark, sf_dir, "events"))
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup composed on sessionize (two shuffles, algebraic
+    aggregates with map-side combine)."""
+    return EV.session_stats(_t(spark, sf_dir, "events"))
+
+
+def q_asof_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (click → latest prior view per user) via the one-shuffle
+    union+window form; the oracle is the same recurrence in DuckDB SQL."""
+    return EV.asof_match(_t(spark, sf_dir, "events"))
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-only Lloyd k-means over embeddings (operators/clustering.py):
+    O(k·dim) driver state, one map-side-combined shuffle per iteration,
+    whole-stage-codegen assignment. Oracle: the recurrence unrolled
+    relationally (points × k-row centroid CTE per iteration)."""
+    from ospo_ghcrawler_spark.operators import clustering as KM
+
+    return KM.kmeans_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_sql() -> str:
+    from ospo_ghcrawler_spark.operators import clustering as KM
+
+    return KM.kmeans_sql()
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsample (operators/clustering.py): k-means
+    assignment + per-cluster md5-rank cap — diversity-preserving
+    subsampling for the training mix."""
+    from ospo_ghcrawler_spark.operators import clustering as KM
+
+    return KM.cluster_sample(_t(spark, sf_dir, "embeddings"))
+
+
+def _cluster_sample_sql() -> str:
+    from ospo_ghcrawler_spark.operators import clustering as KM
+
+    return KM.cluster_sample_sql()
+
+
+def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph connected components (operators/graph.py): chain test
+    graph of known diameter driven through the hash-min label-propagation
+    machinery; oracle is a recursive transitive closure."""
+    from ospo_ghcrawler_spark.operators import graph as G
+
+    return G.link_components(_t(spark, sf_dir, "documents"))
+
+
+def _link_components_sql() -> str:
+    from ospo_ghcrawler_spark.operators import graph as G
+
+    return G.link_components_sql()
+
+
+# ---------------------------------------------------------------------------
 # S: similarity search over embeddings
 # ---------------------------------------------------------------------------
 
@@ -1301,6 +1371,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_pack": q_shard_pack,
     "corpus_mix": q_corpus_mix,
     "link_pagerank": q_link_pagerank,
+    # event-stream analytics
+    "sessionize": q_sessionize,
+    "session_stats": q_session_stats,
+    "asof_match": q_asof_match,
+    # clustering
+    "kmeans_clusters": q_kmeans_clusters,
+    "cluster_sample": q_cluster_sample,
+    "link_components": q_link_components,
     # similarity
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -1348,6 +1426,12 @@ ORACLES: dict[str, str] = {
     "shard_pack": Q_SHARD_PACK_SQL,
     "corpus_mix": Q_CORPUS_MIX_SQL,
     "link_pagerank": _link_pagerank_sql(),
+    "sessionize": EV.sessionize_sql(),
+    "session_stats": EV.session_stats_sql(),
+    "asof_match": EV.asof_match_sql(),
+    "kmeans_clusters": _kmeans_sql(),
+    "cluster_sample": _cluster_sample_sql(),
+    "link_components": _link_components_sql(),
     "embedding_topk": Q_EMBEDDING_TOPK_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "ann_ivf_exhaustive": Q_EMBEDDING_TOPK_SQL,  # nprobe=all ≡ brute force
