@@ -118,7 +118,7 @@ BENCH_QUERIES = [
     "repeated_ngrams", "repeated_ngram_scrub", "decontaminate", "pii_scrub",
     "tfidf_top_terms", "shard_pack", "corpus_mix", "link_pagerank",
     "sessionize", "session_stats", "asof_match", "kmeans_clusters",
-    "cluster_sample", "link_components",
+    "cluster_sample", "link_components", "refetch_schedule", "length_quantiles",
     "embedding_topk", "ann_lsh", "ann_ivf",
     "binary_meta", "media_features",
 ]

@@ -206,3 +206,49 @@ def asof_match_sql(left_type: str = "click", right_type: str = "view") -> str:
                CAST(epoch_us(ts) - ref_us AS BIGINT) AS lag_us
         FROM m WHERE event_type = '{left_type}'
     """
+
+
+def refetch_schedule(
+    events: DataFrame, event_type: str = "view", min_obs: int = 3
+) -> DataFrame:
+    """Change-rate recrawl scheduling: per key, the mean observed
+    inter-arrival interval predicts the next due time —
+    ``next_due_us = last_us + floor(mean_gap_us)``. This is the adaptive
+    recrawl policy a production crawler runs over its fetch/change log
+    (the reference recrawls on a fixed cadence via requeue —
+    providers/queuing/*; rate-adaptive scheduling is the engine-native
+    upgrade); the events table stands in for the per-url change log with
+    user_id as the url key.
+
+    Shape: one shuffle (groupBy key) with map-side combine — mean gap =
+    (max-min)/(n-1) telescopes, so no window pass is needed at all; keys
+    with fewer than *min_obs* observations are dropped (no rate evidence).
+    All outputs are integer micros ⇒ bit-exact vs the oracle."""
+    g = events.filter(F.col("event_type") == event_type).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min(_us("ts")).alias("first_us"),
+        F.max(_us("ts")).alias("last_us"),
+    )
+    return g.filter(F.col("n_obs") >= min_obs).select(
+        "user_id",
+        "n_obs",
+        "last_us",
+        F.expr("(last_us - first_us) div (n_obs - 1)").alias("mean_gap_us"),
+        (
+            F.col("last_us") + F.expr("(last_us - first_us) div (n_obs - 1)")
+        ).alias("next_due_us"),
+    )
+
+
+def refetch_schedule_sql(event_type: str = "view", min_obs: int = 3) -> str:
+    return f"""
+        SELECT user_id, n_obs, last_us,
+               (last_us - first_us) // (n_obs - 1) AS mean_gap_us,
+               last_us + (last_us - first_us) // (n_obs - 1) AS next_due_us
+        FROM (
+          SELECT user_id, count(*) AS n_obs,
+                 min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+          FROM events WHERE event_type = '{event_type}'
+          GROUP BY user_id
+        ) WHERE n_obs >= {min_obs}
+    """

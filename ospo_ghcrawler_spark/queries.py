@@ -1084,6 +1084,45 @@ Q_CORPUS_MIX_SQL = """
 """
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang doc-length quantile report (p25/p50/p75/p90) — the length
+    statistics a filtering stage tunes its thresholds from. One map-side-
+    combined groupBy; Spark's exact `percentile` and DuckDB's
+    `quantile_cont` share the linear-interpolation definition, rounded to
+    6 decimals in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select("lang", F.length("text").alias("n_char")).groupBy("lang")
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_char, array(0.25D, 0.5D, 0.75D, 0.9D))").alias("q"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("q").getItem(0), 6).alias("p25"),
+        F.round(F.col("q").getItem(1), 6).alias("p50"),
+        F.round(F.col("q").getItem(2), 6).alias("p75"),
+        F.round(F.col("q").getItem(3), 6).alias("p90"),
+    )
+
+
+Q_LENGTH_QUANTILES_SQL = """
+    SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(length(text), 0.25), 6) AS p25,
+           round(quantile_cont(length(text), 0.50), 6) AS p50,
+           round(quantile_cont(length(text), 0.75), 6) AS p75,
+           round(quantile_cont(length(text), 0.90), 6) AS p90
+    FROM documents GROUP BY lang
+"""
+
+
+def q_refetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate recrawl scheduling (operators/events.py): per-key mean
+    inter-arrival predicts the next due time; the telescoping mean needs no
+    window pass — one map-side-combined groupBy."""
+    return EV.refetch_schedule(_t(spark, sf_dir, "events"))
+
+
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank over a deterministic synthetic link
     graph on the documents table (operators/graph.py) — the frontier-
@@ -1375,6 +1414,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
     "asof_match": q_asof_match,
+    "refetch_schedule": q_refetch_schedule,
+    "length_quantiles": q_length_quantiles,
     # clustering
     "kmeans_clusters": q_kmeans_clusters,
     "cluster_sample": q_cluster_sample,
@@ -1429,6 +1470,8 @@ ORACLES: dict[str, str] = {
     "sessionize": EV.sessionize_sql(),
     "session_stats": EV.session_stats_sql(),
     "asof_match": EV.asof_match_sql(),
+    "refetch_schedule": EV.refetch_schedule_sql(),
+    "length_quantiles": Q_LENGTH_QUANTILES_SQL,
     "kmeans_clusters": _kmeans_sql(),
     "cluster_sample": _cluster_sample_sql(),
     "link_components": _link_components_sql(),

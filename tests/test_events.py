@@ -128,3 +128,29 @@ def test_sessionize_parallelism_invariant(spark):
     a = sorted(map(tuple, EV.sessionize(df1).collect()))
     b = sorted(map(tuple, EV.sessionize(df2).collect()))
     assert a == b
+
+
+def test_refetch_schedule_telescoping_mean(spark):
+    from ospo_ghcrawler_spark.operators.events import refetch_schedule
+
+    rows = [
+        # key 1: gaps 10s, 20s, 30s -> mean 20s exactly
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:00:10", "view"),
+        (3, 1, "2024-01-01 00:00:30", "view"),
+        (4, 1, "2024-01-01 00:01:00", "view"),
+        # key 2: only 2 obs -> dropped (min_obs=3)
+        (5, 2, "2024-01-01 00:00:00", "view"),
+        (6, 2, "2024-01-01 00:05:00", "view"),
+        # key 3: clicks only -> dropped (wrong type)
+        (7, 3, "2024-01-01 00:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) as ts", "event_type")
+    got = {r["user_id"]: r for r in refetch_schedule(ev).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r["n_obs"] == 4
+    assert r["mean_gap_us"] == 20_000_000
+    assert r["next_due_us"] == r["last_us"] + 20_000_000
