@@ -631,9 +631,6 @@ def main() -> None:
             done = {p: g for p, g in groups.items() if completed_pairs(g)}
             if not done or sum(map(completed_pairs, done.values())) >= max_pairs:
                 break
-            # observed per-page cost from the largest completed group's best
-            # lo wall — the live estimate under CURRENT noise, never below
-            # the calibrated slope
             # observed per-page cost from the CURRENT size's best lo wall
             # when that size has completed (else the largest completed) —
             # the live estimate under current noise, never below the

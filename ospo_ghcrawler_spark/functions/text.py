@@ -91,6 +91,71 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+ALPHA_TOKEN_RE = "[A-Za-z0-9]*[A-Za-z][A-Za-z0-9]*"
+SYMBOL_RE = r"(#|\.\.\.)"
+
+
+def gopher_stats(text: Column) -> dict[str, Column]:
+    """The per-document statistics behind Gopher-style document filtering
+    (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A.1.1 — the
+    published repetition/quality rules used by most public web-corpus
+    pipelines). All integer counts plus two single-division ratios, so the
+    DuckDB oracle reproduces every value bit-for-bit:
+
+    - ``n_words``       word-token count;
+    - ``sum_word_len``  total word-token characters — computed as
+      ``length(regexp_replace(text, '[^A-Za-z0-9]', ''))``: stripping
+      every non-token character leaves exactly the concatenated tokens, a
+      single JVM regex pass instead of a per-token transform+fold;
+    - ``mean_word_len`` ``sum_word_len / max(n_words, 1)``;
+    - ``n_alpha_words`` tokens containing at least one letter — a maximal
+      alnum run matches ``[A-Za-z0-9]*[A-Za-z][A-Za-z0-9]*`` iff it
+      contains a letter (greedy + backtrack covers the whole run), so one
+      ``regexp_extract_all`` counts them without exploding tokens;
+    - ``alpha_frac``    ``n_alpha_words / max(n_words, 1)``;
+    - ``n_stop``        stopword hits (shared marker list);
+    - ``n_symbols``     hash / ellipsis occurrences (the Gopher
+      symbol-to-word numerator).
+    """
+    n_words = token_count(text)
+    denom = F.greatest(n_words, F.lit(1))
+    sum_word_len = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", ""))
+    n_alpha = F.size(F.regexp_extract_all(text, F.lit(ALPHA_TOKEN_RE), 0))
+    return {
+        "n_words": n_words,
+        "sum_word_len": sum_word_len,
+        "mean_word_len": sum_word_len / denom,
+        "n_alpha_words": n_alpha,
+        "alpha_frac": n_alpha / denom,
+        "n_stop": stopword_count(text),
+        "n_symbols": F.size(F.regexp_extract_all(text, F.lit(SYMBOL_RE), 0)),
+    }
+
+
+def gopher_passes(
+    s: dict[str, Column],
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean: float = 3.0,
+    max_mean: float = 10.0,
+    min_alpha_frac: float = 0.7,
+    min_stop: int = 1,
+    max_symbol_ratio: float = 0.1,
+) -> Column:
+    """Gopher keep/drop verdict over :func:`gopher_stats` output. Defaults
+    are scaled to the short synthetic documents; production values from the
+    paper: 50..100k words, mean 3..10, alpha 0.8, 2 stopwords."""
+    return (
+        (s["n_words"] >= min_words)
+        & (s["n_words"] <= max_words)
+        & (s["mean_word_len"] >= min_mean)
+        & (s["mean_word_len"] <= max_mean)
+        & (s["alpha_frac"] >= min_alpha_frac)
+        & (s["n_stop"] >= min_stop)
+        & (s["n_symbols"] / F.greatest(s["n_words"], F.lit(1)) <= max_symbol_ratio)
+    )
+
+
 def normalized(text: Column) -> Column:
     """Whitespace-collapsed, lowered, trimmed — the fingerprint base."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -1116,6 +1116,140 @@ Q_LENGTH_QUANTILES_SQL = """
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021 §A.1.1): per-doc word
+    count, mean word length, alphabetic-word fraction, stopword hits,
+    symbol count, and the keep/drop verdict. Pure JVM projections, zero
+    shuffle — the scan is pruned to (doc_id, text) and every stat is one
+    regex pass (see functions/text.py:gopher_stats for why sum_word_len and
+    n_alpha_words avoid token explosion entirely)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = TXT.gopher_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        s["mean_word_len"].alias("mean_word_len"),
+        s["alpha_frac"].alias("alpha_frac"),
+        s["n_stop"].alias("n_stop"),
+        s["n_symbols"].alias("n_symbols"),
+        TXT.gopher_passes(s).alias("keep"),
+    )
+
+
+Q_GOPHER_QUALITY_SQL = f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{TXT.WORD_RE}')) AS n_words,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS sum_len,
+             len(regexp_extract_all(text, '{TXT.ALPHA_TOKEN_RE}')) AS n_alpha,
+             len(regexp_extract_all(lower(text),
+                 '\\b(the|and|of|to|is)\\b')) AS n_stop,
+             len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS n_symbols
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           sum_len / greatest(n_words, 1) AS mean_word_len,
+           n_alpha / greatest(n_words, 1) AS alpha_frac,
+           n_stop, n_symbols,
+           (n_words BETWEEN 20 AND 100000)
+             AND sum_len / greatest(n_words, 1) BETWEEN 3.0 AND 10.0
+             AND n_alpha / greatest(n_words, 1) >= 0.7
+             AND n_stop >= 1
+             AND n_symbols / greatest(n_words, 1) <= 0.1 AS keep
+    FROM s
+"""
+
+
+def q_url_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection over a synthesized frontier: a url whose path
+    repeats a segment (calendar/infinite-pagination traps) or exceeds a
+    depth ceiling is flagged before it wastes fetch budget. Segment
+    repetition is ``size(segs) - size(array_distinct(segs))`` — two array
+    expressions per row, zero shuffle, so the check rides the frontier scan
+    for free at 10^10 urls."""
+    li = _t(spark, sf_dir, "lineitem")
+    seg = F.concat(F.lit("/p"), F.col("l_linenumber").cast("string"))
+    tail = F.when(
+        F.col("l_orderkey") % 7 == 0, F.concat(seg, seg, seg, seg)
+    ).otherwise(seg)
+    path = F.concat(
+        F.lit("/c"),
+        (F.col("l_partkey") % 20).cast("string"),
+        F.lit("/i"),
+        (F.col("l_suppkey") % 10).cast("string"),
+        tail,
+    )
+    segs = F.split(path, "/")
+    depth = F.size(segs) - 1  # leading '' from the root slash
+    n_rep = F.size(segs) - F.size(F.array_distinct(segs))
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line"),
+        path.alias("path"),
+        depth.alias("depth"),
+        n_rep.alias("n_repeated"),
+        ((n_rep >= 2) | (depth > 6)).alias("is_trap"),
+    )
+
+
+Q_URL_TRAP_SQL = """
+    WITH u AS (
+      SELECT l_orderkey AS okey, l_linenumber AS line,
+             '/c' || (l_partkey % 20) || '/i' || (l_suppkey % 10) ||
+               repeat('/p' || l_linenumber,
+                      CASE WHEN l_orderkey % 7 = 0 THEN 4 ELSE 1 END) AS path
+      FROM lineitem
+    ),
+    s AS (
+      SELECT *, string_split(path, '/') AS segs FROM u
+    )
+    SELECT okey, line, path,
+           CAST(len(segs) - 1 AS INTEGER) AS depth,
+           CAST(len(segs) - len(list_distinct(segs)) AS INTEGER) AS n_repeated,
+           (len(segs) - len(list_distinct(segs)) >= 2)
+             OR (len(segs) - 1 > 6) AS is_trap
+    FROM s
+"""
+
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity score per document — the DSIR-style
+    importance signal: explode word tokens once, count global term
+    frequency, join the (small, Zipf-bounded) vocabulary back broadcast,
+    and aggregate per doc. All-integer outputs (sum/min of corpus counts),
+    so the oracle is exact. At 100 TB the vocab side is the only shuffle;
+    the rejoin is a broadcast hash join (vocab ≪ corpus) — plan-pinned in
+    tests/test_webtext.py."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("tf").alias("sum_tf"),
+            F.min("tf").alias("min_tf"),
+        )
+    )
+
+
+Q_TOKEN_RARITY_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok
+      FROM documents
+    ),
+    v AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok)
+    SELECT doc_id, count(*) AS n_tok,
+           CAST(sum(tf) AS BIGINT) AS sum_tf,
+           CAST(min(tf) AS BIGINT) AS min_tf
+    FROM t JOIN v USING (tok) GROUP BY doc_id
+"""
+
+
 def q_refetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-rate recrawl scheduling (operators/events.py): per-key mean
     inter-arrival predicts the next due time; the telescoping mean needs no
@@ -1416,6 +1550,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_match": q_asof_match,
     "refetch_schedule": q_refetch_schedule,
     "length_quantiles": q_length_quantiles,
+    # webtext filtering
+    "gopher_quality": q_gopher_quality,
+    "url_trap": q_url_trap,
+    "token_rarity": q_token_rarity,
     # clustering
     "kmeans_clusters": q_kmeans_clusters,
     "cluster_sample": q_cluster_sample,
@@ -1472,6 +1610,9 @@ ORACLES: dict[str, str] = {
     "asof_match": EV.asof_match_sql(),
     "refetch_schedule": EV.refetch_schedule_sql(),
     "length_quantiles": Q_LENGTH_QUANTILES_SQL,
+    "gopher_quality": Q_GOPHER_QUALITY_SQL,
+    "url_trap": Q_URL_TRAP_SQL,
+    "token_rarity": Q_TOKEN_RARITY_SQL,
     "kmeans_clusters": _kmeans_sql(),
     "cluster_sample": _cluster_sample_sql(),
     "link_components": _link_components_sql(),
