@@ -169,6 +169,40 @@ class Crawler:
             row[0]["m"] if row and row[0]["m"] is not None else self.cfg.host_budget,
             self.cfg.host_budget,
         )
+        self._build_plan_fragments()
+
+    def _build_plan_fragments(self) -> None:
+        """Build the per-run STATIC plan fragments once.
+
+        Column objects are immutable expression trees — reusable across
+        queries — and constructing them costs a py4j round trip per node.
+        Rebuilding the harvest/edges/frontier fragments inside every
+        superstep was ~0.5-1 s of driver-side time per step (measured via
+        SPARK_CRAWL_DEBUG_TIMING at 1 core): pure serial overhead, i.e. the
+        fixed cost F that caps N→4N scaling efficiency. Rebuilt on live
+        config reload (the fragments embed cfg-derived literals)."""
+        cfg = self.cfg
+        self._frontier_names = [f.name for f in FRONTIER_SCHEMA.fields]
+        self._metrics_names = [
+            f.name for f in self.catalog.table("metrics").schema.fields
+        ]
+        self._feat_cols = harvest_feature_cols(cfg)
+        self._host_salt_col = F.pmod(
+            F.xxhash64("host"), F.lit(cfg.frontier_partitions)
+        ).cast("int")
+        self._edges_depth_ceiling = policy_depth_col(F.col("policy"), cfg)
+        self._w_first = Window.partitionBy("url_hash").orderBy("seq", "pos")
+        self._metrics_aggs = [
+            F.count("*").alias("selected"),
+            F.sum((F.col("status") == 200).cast("long")).alias("fetched_ok"),
+            F.sum((F.col("status") == 404).cast("long")).alias("fetched_404"),
+            F.sum((F.col("status") >= 500).cast("long")).alias("failed"),
+            F.sum("fetch_ms").alias("fetch_ms_sum"),
+            F.min("fetch_ms").alias("fetch_ms_min"),
+            F.sum(
+                F.coalesce(F.octet_length("html"), F.lit(0)).cast("long")
+            ).alias("bytes"),
+        ]
 
     def _await_pending(self) -> None:
         """Barrier on the in-flight background commit (pipelined mode)."""
@@ -284,6 +318,7 @@ class Crawler:
                 if self.cfg.token_specs
                 else None
             )
+        self._build_plan_fragments()  # fragments embed cfg-derived literals
 
     # ------------------------------------------------------ token pools (R3)
 
@@ -485,7 +520,7 @@ class Crawler:
                     "not_before_step",
                     F.greatest(F.col("token_wake").cast("int"), F.lit(step + 1)),
                 )
-                .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+                .select(*self._frontier_names)
             )
             tok_dead = deferred.filter(F.col("token_wake").isNull()).select(
                 "url",
@@ -517,7 +552,7 @@ class Crawler:
         # fetch+extract pipeline executes exactly once, and later reads prune
         # html/text away (columnar scan) instead of re-materializing them.
         pages_t = self.catalog.table("pages")
-        feat_cols = harvest_feature_cols(cfg)
+        feat_cols = self._feat_cols
         harvest = extracted.select(
             "url", "warc_ts", "html", "text", "lang", "links",
             "url_hash", "host", "priority", "attempt", "depth",
@@ -542,13 +577,16 @@ class Crawler:
         # TraversalPolicy)
         links = (
             ok.select(
-                "seq", "depth", "policy",
+                "seq", "policy",
+                (F.col("depth") + 1).alias("depth"),
                 F.posexplode("links").alias("pos", "url"),
             )
-            .withColumn("url_hash", F.xxhash64("url"))
-            .withColumn("host", host_col(F.col("url")))
-            .withColumn("depth", F.col("depth") + 1)
-            .filter(F.col("depth") <= policy_depth_col(F.col("policy"), cfg))
+            .select(
+                "*",
+                F.xxhash64("url").alias("url_hash"),
+                host_col(F.col("url")).alias("host"),
+            )
+            .filter(F.col("depth") <= self._edges_depth_ceiling)
         )
         edges = links
         if cfg.allowed_hosts is not None:
@@ -556,9 +594,8 @@ class Crawler:
         edges = robots_allowed_filter(edges, self.robots)
 
         # attenuation: first-occurrence wins deterministically (parent seq, pos)
-        w_first = Window.partitionBy("url_hash").orderBy("seq", "pos")
         edges = (
-            edges.withColumn("_rk", F.row_number().over(w_first))
+            edges.withColumn("_rk", F.row_number().over(self._w_first))
             .filter(F.col("_rk") == 1)
             .drop("_rk")
         )
@@ -617,13 +654,15 @@ class Crawler:
                 F.lit((1 << 32) - 1)
             )
         new_rows = (
-            edges.withColumn("seq", seq_col.cast("long"))
-            .withColumn("host_salt", F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_partitions)).cast("int"))
-            .withColumn("priority", F.lit(PRIORITY_NORMAL).cast("int"))
-            .withColumn("attempt", F.lit(0))
-            .withColumn("enqueue_step", F.lit(step + 1).cast("int"))
-            .withColumn("not_before_step", F.lit(step + 1).cast("int"))
-            .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            edges.withColumns({
+                "seq": seq_col.cast("long"),
+                "host_salt": self._host_salt_col,
+                "priority": F.lit(PRIORITY_NORMAL).cast("int"),
+                "attempt": F.lit(0),
+                "enqueue_step": F.lit(step + 1).cast("int"),
+                "not_before_step": F.lit(step + 1).cast("int"),
+            })
+            .select(*self._frontier_names)
         ).cache()
         n_new = new_rows.count() if cfg.collect_stats else -1
         _mark("new_rows")
@@ -632,16 +671,15 @@ class Crawler:
         retry = None if not cfg.expect_failures else (
             failed  # policy rides the log row — no join back to the batch
             .filter(F.col("attempt") + 1 < cfg.max_attempts)
-            .withColumn("attempt", (F.col("attempt") + 1).cast("int"))
-            .withColumn(
-                "priority",
-                F.when(F.col("priority") <= 1, F.lit(cfg.retry_priority)).otherwise(
-                    F.col("priority")
-                ).cast("int"),
-            )
-            .withColumn("not_before_step", F.lit(step + cfg.defer_supersteps).cast("int"))
-            .withColumn("host_salt", F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_partitions)).cast("int"))
-            .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            .withColumns({
+                "attempt": (F.col("attempt") + 1).cast("int"),
+                "priority": F.when(
+                    F.col("priority") <= 1, F.lit(cfg.retry_priority)
+                ).otherwise(F.col("priority")).cast("int"),
+                "not_before_step": F.lit(step + cfg.defer_supersteps).cast("int"),
+                "host_salt": self._host_salt_col,
+            })
+            .select(*self._frontier_names)
         )
         dead = None if not cfg.expect_failures else (
             failed.filter(F.col("attempt") + 1 >= cfg.max_attempts)
@@ -665,19 +703,13 @@ class Crawler:
         )
         metrics = (
             log.groupBy("host")
-            .agg(
-                F.count("*").alias("selected"),
-                F.sum((F.col("status") == 200).cast("long")).alias("fetched_ok"),
-                F.sum((F.col("status") == 404).cast("long")).alias("fetched_404"),
-                F.sum((F.col("status") >= 500).cast("long")).alias("failed"),
-                F.sum("fetch_ms").alias("fetch_ms_sum"),
-                F.min("fetch_ms").alias("fetch_ms_min"),
-                F.sum(F.coalesce(F.octet_length("html"), F.lit(0)).cast("long")).alias("bytes"),
-            )
-            .withColumn("superstep", F.lit(step).cast("int"))
-            .withColumn("new_edges", F.lit(0).cast("long"))
-            .withColumn("dedup_bounced", F.lit(0).cast("long"))
-            .select(*[f.name for f in self.catalog.table("metrics").schema.fields])
+            .agg(*self._metrics_aggs)
+            .withColumns({
+                "superstep": F.lit(step).cast("int"),
+                "new_edges": F.lit(0).cast("long"),
+                "dedup_bounced": F.lit(0).cast("long"),
+            })
+            .select(*self._metrics_names)
         )
         # per-step edge/dedup counts ride on a synthetic "__run__" row —
         # built as a pure JVM literal plan; spark.createDataFrame here costs
@@ -708,7 +740,7 @@ class Crawler:
             next_frontier = next_frontier.unionByName(retry)
         if tok_defer is not None:
             next_frontier = next_frontier.unionByName(tok_defer)
-        next_frontier = next_frontier.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        next_frontier = next_frontier.select(*self._frontier_names)
         pipeline_frontier = pipelined and cfg.pipelined_frontier_commit
         if pipeline_frontier:
             # the plan is handed to the NEXT superstep's selection while the
