@@ -115,8 +115,10 @@ BENCH_QUERIES = [
     "dedup_exact", "minhash_lsh", "neardup_clusters", "clean_corpus",
     "token_stats", "quality_score", "lang_id", "fingerprint",
     "winnow_fingerprint", "winnow_fingerprint_fast", "sample_stratified",
-    "repeated_ngrams", "repeated_ngram_scrub", "decontaminate", "pii_scrub",
+    "repeated_ngrams", "repeated_ngram_scrub", "paragraph_dedup",
+    "robots_parse", "link_hits", "decontaminate", "pii_scrub",
     "tfidf_top_terms", "shard_pack", "corpus_mix", "link_pagerank",
+    "surt_keys", "source_quality",
     "sessionize", "session_stats", "asof_match", "kmeans_clusters",
     "cluster_sample", "link_components", "refetch_schedule", "length_quantiles",
     "embedding_topk", "ann_lsh", "ann_ivf",

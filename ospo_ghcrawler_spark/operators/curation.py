@@ -140,6 +140,120 @@ def repeated_ngram_scrub(docs: DataFrame, n: int = 5, min_docs: int = 2) -> Data
     )
 
 
+def paragraph_dedup(docs: DataFrame, width: int = 3) -> DataFrame:
+    """CCNet-style cross-corpus paragraph dedup (Wenzek et al. 2020: hash
+    every paragraph, keep ONE copy corpus-wide, drop later duplicates) at
+    fixed word-window granularity — the corpus here is a flat word stream,
+    so the "paragraph" unit is each non-overlapping *width*-word chunk.
+
+    Keep rule (deterministic, partition-independent): an occurrence of a
+    chunk survives iff it is the canonical first occurrence — minimal
+    (doc_id, pos) among all occurrences of that exact chunk text. Unlike
+    :func:`repeated_ngram_scrub` (removal semantics: ALL copies go), this
+    is dedup semantics: exactly one copy of every distinct chunk remains in
+    the corpus.
+
+    Returns (doc_id, clean_md5, n_chunks_kept, n_chunks_removed) — md5 of
+    the space-rejoined surviving chunks, hash-comparable without shipping
+    texts.
+
+    Plan: chunking is a zero-shuffle array projection; the keep decision is
+    ONE window shuffle keyed on the chunk text; reassembly is one groupBy
+    doc_id (AQE-coalesced). The text column is scanned once. At 100 TB the
+    window key should be xxhash64(chunk) rather than the chunk string
+    (shuffle bytes ∝ hash width, collisions vanishing at 64 bits); the
+    string key is kept here for oracle bit-parity.
+    """
+    w = TXT.tokens(F.col("text"))
+    starts = F.when(
+        F.size(w) >= 1,
+        F.sequence(F.lit(0), F.floor((F.size(w) - 1) / width).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.array_join(F.slice(w, i * width + 1, width), " ").alias("chunk"),
+        ),
+    )
+    occ = docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", F.col("c.pos").alias("pos"), F.col("c.chunk").alias("chunk")
+    )
+    win = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    ranked = occ.withColumn("rk", F.row_number().over(win))
+    per_doc = (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("rk") == 1,
+                                        F.struct(F.col("pos"), F.col("chunk")),
+                                    )
+                                )
+                            ),
+                            lambda s: s["chunk"],
+                        ),
+                        " ",
+                    ),
+                    "UTF-8",
+                )
+            ).alias("clean_md5"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).cast("long").alias("n_chunks_kept"),
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).cast("long").alias(
+                "n_chunks_removed"
+            ),
+        )
+    )
+    # chunkless (empty-text) docs still get a row: md5(''), 0, 0
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_md5", F.lit(empty_md5)).alias("clean_md5"),
+        F.coalesce("n_chunks_kept", F.lit(0).cast("long")).alias("n_chunks_kept"),
+        F.coalesce("n_chunks_removed", F.lit(0).cast("long")).alias("n_chunks_removed"),
+    )
+
+
+def paragraph_dedup_sql(width: int = 3) -> str:
+    """Exact-replica DuckDB oracle for :func:`paragraph_dedup` (same
+    tokenization, chunking, keep rule, and md5 reassembly)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS words
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(words, i*{width}+1, i*{width}+{width}), ' ') AS chunk
+      FROM toks, (SELECT unnest(range(0, 4096)) AS i)
+      WHERE i*{width} < len(words)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rk
+      FROM occ
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             md5(COALESCE(
+                   string_agg(CASE WHEN rk = 1 THEN chunk END, ' ' ORDER BY pos),
+                   '')) AS clean_md5,
+             CAST(count(*) FILTER (rk = 1) AS BIGINT) AS n_chunks_kept,
+             CAST(count(*) FILTER (rk > 1) AS BIGINT) AS n_chunks_removed
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.clean_md5, md5('')) AS clean_md5,
+           COALESCE(p.n_chunks_kept, 0) AS n_chunks_kept,
+           COALESCE(p.n_chunks_removed, 0) AS n_chunks_removed
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """
+
+
 def decontaminate(
     docs: DataFrame, n: int = 8, eval_mod: int = 17
 ) -> DataFrame:

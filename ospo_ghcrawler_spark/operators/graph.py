@@ -127,6 +127,99 @@ def pagerank_sql(iterations: int = 3) -> str:
     return sql + f"\n    SELECT doc_id, rank_fp FROM {prev}"
 
 
+# HITS fixed-point scale: 1e6 (not PR_SCALE's 1e9) so the un-normalized
+# sums stay inside int64 — a node's raw score is ≤ degree·SCALE and the
+# normalization multiply is raw·SCALE ≤ degree·SCALE² < 2^63 for any
+# degree < 9.2e6 (the synthetic LCG graph tops out near its fanout; real
+# web graphs need a degree cap or a wider-scale two-pass normalize).
+HITS_SCALE = 1_000_000
+
+
+def hits_fixed_point(
+    nodes: DataFrame, edges: DataFrame, iterations: int = 2
+) -> DataFrame:
+    """Integer fixed-point HITS (hubs & authorities) — the classic
+    complement to PageRank for frontier prioritization: authorities are
+    link-endorsed content pages, hubs are directory/index pages whose
+    outlinks are worth expanding first.
+
+    Per iteration: auth ← Σ_in hub, normalized to max = HITS_SCALE by floor
+    division; then hub ← Σ_out auth, normalized the same way. All integer
+    arithmetic → bit-exact across engines/partitionings (same determinism
+    contract as pagerank_fixed_point). Each iteration is two edge joins +
+    two map-side-combined aggs + two O(1) max aggregates broadcast back —
+    nothing node-sized ever reaches the driver.
+
+    Returns (doc_id, hub_fp, auth_fp) at scale HITS_SCALE.
+    """
+    ids = nodes.select("doc_id")
+    hub = ids.withColumn("hub_fp", F.lit(HITS_SCALE).cast("long"))
+    auth = None
+    for _ in range(iterations):
+        a_in = (
+            edges.join(hub.select(F.col("doc_id").alias("src"), "hub_fp"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub_fp").alias("a_raw"))
+        )
+        auth = ids.join(a_in, ids.doc_id == a_in.dst, "left").select(
+            "doc_id", F.coalesce("a_raw", F.lit(0).cast("long")).alias("a_raw")
+        )
+        a_max = auth.agg(F.greatest(F.max("a_raw"), F.lit(1)).alias("m"))
+        auth = auth.crossJoin(F.broadcast(a_max)).select(
+            "doc_id", F.expr(f"(a_raw * {HITS_SCALE}) div m").alias("auth_fp")
+        )
+        h_out = (
+            edges.join(auth.select(F.col("doc_id").alias("dst"), "auth_fp"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth_fp").alias("h_raw"))
+        )
+        hub = ids.join(h_out, ids.doc_id == h_out.src, "left").select(
+            "doc_id", F.coalesce("h_raw", F.lit(0).cast("long")).alias("h_raw")
+        )
+        h_max = hub.agg(F.greatest(F.max("h_raw"), F.lit(1)).alias("m"))
+        hub = hub.crossJoin(F.broadcast(h_max)).select(
+            "doc_id", F.expr(f"(h_raw * {HITS_SCALE}) div m").alias("hub_fp")
+        )
+    return hub.join(auth, "doc_id").select("doc_id", "hub_fp", "auth_fp")
+
+
+def hits_sql(iterations: int = 2) -> str:
+    """Exact-replica unrolled DuckDB oracle for hits_fixed_point over the
+    synthetic_link_edges graph (``//`` ≡ Spark ``div`` on non-negatives)."""
+    edge_terms = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{EDGE_A} + {EDGE_C} + {j}*{EDGE_J}) % "
+        f"(SELECT c FROM n) AS dst FROM documents"
+        for j in range(EDGE_FANOUT)
+    )
+    sql = f"""
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    edges AS (SELECT src, dst FROM ({edge_terms}) WHERE src <> dst),
+    h0 AS (SELECT doc_id, CAST({HITS_SCALE} AS BIGINT) AS hub_fp FROM documents)"""
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+    ar{i} AS (SELECT d.doc_id, COALESCE(s.a, 0) AS a_raw
+              FROM documents d LEFT JOIN (
+                SELECT e.dst, SUM(h.hub_fp) AS a
+                FROM edges e JOIN {prev_h} h ON e.src = h.doc_id GROUP BY e.dst
+              ) s ON d.doc_id = s.dst),
+    a{i} AS (SELECT doc_id, CAST((a_raw * {HITS_SCALE})
+                 // (SELECT GREATEST(MAX(a_raw), 1) FROM ar{i}) AS BIGINT) AS auth_fp
+             FROM ar{i}),
+    hr{i} AS (SELECT d.doc_id, COALESCE(s.h, 0) AS h_raw
+              FROM documents d LEFT JOIN (
+                SELECT e.src, SUM(a.auth_fp) AS h
+                FROM edges e JOIN a{i} a ON e.dst = a.doc_id GROUP BY e.src
+              ) s ON d.doc_id = s.src),
+    h{i} AS (SELECT doc_id, CAST((h_raw * {HITS_SCALE})
+                 // (SELECT GREATEST(MAX(h_raw), 1) FROM hr{i}) AS BIGINT) AS hub_fp
+             FROM hr{i})"""
+        prev_h = f"h{i}"
+    return sql + f"""
+    SELECT h.doc_id, h.hub_fp, a.auth_fp
+    FROM {prev_h} h JOIN a{iterations} a ON h.doc_id = a.doc_id"""
+
+
 # Block-chain CC test graph: undirected edges (i, i+1) inside blocks of
 # CC_BLOCK consecutive doc_ids — many components of known diameter
 # (CC_BLOCK-1), so the propagation loop is genuinely exercised over

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ospo_ghcrawler_spark.functions import text as TXT
+from ospo_ghcrawler_spark.functions import urls as U
 from ospo_ghcrawler_spark.operators import curation as CU
 from ospo_ghcrawler_spark.operators import dedup_docs as DD
 from ospo_ghcrawler_spark.operators import events as EV
@@ -973,6 +974,14 @@ Q_REPEATED_NGRAM_SCRUB_SQL = f"""
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus paragraph dedup (keep first occurrence
+    corpus-wide) at 3-word-chunk granularity — the dedup-semantics
+    complement to repeated_ngram_scrub's removal semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.paragraph_dedup(docs, width=3)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination flags: training docs sharing a word
     {DECON_N}-gram with the held-out set (doc_id % EVAL_MOD == 0), with the
@@ -1116,6 +1125,76 @@ Q_LENGTH_QUANTILES_SQL = """
 """
 
 
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT index keys (functions/urls.py:surt_col) — the Common-Crawl CDX
+    sort key, over messy synthesized urls (mixed case, www, :80 ports,
+    unsorted queries, fragments)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    messy = F.concat(
+        F.lit("http://www.Host"),
+        (F.col("o_custkey") % N_HOSTS).cast("string"),
+        F.lit(".Example"),
+        F.when(k % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/P"),
+        k.cast("string"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("?z=1&a="), (F.col("o_custkey") % 5).cast("string")),
+        )
+        .when(k % 3 == 1, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return o.select(
+        k.alias("key"),
+        messy.alias("url"),
+        U.surt_col(messy).alias("surt"),
+    )
+
+
+Q_SURT_KEYS_SQL = f"""
+    WITH u AS (
+      SELECT o_orderkey AS key,
+             'http://www.Host' || (o_custkey % {N_HOSTS}) || '.Example'
+             || (CASE WHEN o_orderkey % 2 = 0 THEN ':80' ELSE '' END)
+             || '/P' || o_orderkey
+             || (CASE WHEN o_orderkey % 3 = 0 THEN '?z=1&a=' || (o_custkey % 5)
+                      WHEN o_orderkey % 3 = 1 THEN '#frag'
+                      ELSE '' END) AS url
+      FROM orders
+    ),
+    t AS (
+      SELECT key, url,
+             substr(split_part(url, '#', 1), instr(url, '://') + 3) AS after
+      FROM u
+    ),
+    v AS (
+      SELECT key, url,
+             split_part(after, '/', 1) AS authority,
+             substr(after, length(split_part(after, '/', 1)) + 1) AS pathq
+      FROM t
+    ),
+    w AS (
+      SELECT key, url, pathq,
+             CASE WHEN lower(split_part(authority, ':', 1)) LIKE 'www.%'
+                  THEN substr(lower(split_part(authority, ':', 1)), 5)
+                  ELSE lower(split_part(authority, ':', 1)) END AS host,
+             split_part(pathq, '?', 1) AS rawpath,
+             CASE WHEN instr(pathq, '?') > 0
+                  THEN substr(pathq, instr(pathq, '?') + 1) END AS query
+      FROM v
+    )
+    SELECT key, url,
+           array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
+           || (CASE WHEN query IS NOT NULL AND length(query) > 0
+                    THEN (CASE WHEN length(rawpath) > 0 THEN rawpath ELSE '/' END)
+                         || '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+                    ELSE (CASE WHEN length(rawpath) > 0 THEN rawpath ELSE '/' END) END)
+             AS surt
+    FROM w
+"""
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule document filter (Rae et al. 2021 §A.1.1): per-doc word
     count, mean word length, alphabetic-word fraction, stopword hits,
@@ -1157,6 +1236,55 @@ Q_GOPHER_QUALITY_SQL = f"""
              AND n_stop >= 1
              AND n_symbols / greatest(n_words, 1) <= 0.1 AS keep
     FROM s
+"""
+
+
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation rollup (RefinedWeb-style: curate by SOURCE,
+    not only by document): per source, doc count, Gopher keep rate, and
+    mean word count — the dim a mixing/reweighting stage joins against.
+    One map-side-combined groupBy over zero-shuffle per-doc projections."""
+    docs = _t(spark, sf_dir, "documents")
+    s = TXT.gopher_stats(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        s["n_words"].alias("n_words"),
+        TXT.gopher_passes(s).cast("int").alias("keep"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        F.round(F.sum("keep") / F.count("*"), 6).alias("keep_frac"),
+        F.round(F.avg("n_words"), 6).alias("mean_words"),
+    )
+
+
+Q_SOURCE_QUALITY_SQL = f"""
+    WITH s AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{TXT.WORD_RE}')) AS n_words,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS sum_len,
+             len(regexp_extract_all(text, '{TXT.ALPHA_TOKEN_RE}')) AS n_alpha,
+             len(regexp_extract_all(lower(text),
+                 '\\b(the|and|of|to|is)\\b')) AS n_stop,
+             len(regexp_extract_all(text, '(#|\\.\\.\\.)')) AS n_symbols
+      FROM documents
+    ),
+    k AS (
+      SELECT source, n_words,
+             CASE WHEN (n_words BETWEEN 20 AND 100000)
+                   AND sum_len / greatest(n_words, 1) BETWEEN 3.0 AND 10.0
+                   AND n_alpha / greatest(n_words, 1) >= 0.7
+                   AND n_stop >= 1
+                   AND n_symbols / greatest(n_words, 1) <= 0.1
+                  THEN 1 ELSE 0 END AS keep
+      FROM s
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_keep,
+           round(sum(keep) * 1.0 / count(*), 6) AS keep_frac,
+           round(avg(n_words), 6) AS mean_words
+    FROM k GROUP BY source
 """
 
 
@@ -1330,6 +1458,25 @@ def _cluster_sample_sql() -> str:
     return KM.cluster_sample_sql()
 
 
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point HITS hubs/authorities over the synthetic link
+    graph (operators/graph.py:hits_fixed_point) — the hub side ranks
+    directory-like pages for frontier expansion, the authority side weights
+    documents for corpus curation; bit-exact vs the unrolled SQL."""
+    from ospo_ghcrawler_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = G.synthetic_link_edges(docs, n)
+    return G.hits_fixed_point(docs, edges, iterations=2)
+
+
+def _link_hits_sql() -> str:
+    from ospo_ghcrawler_spark.operators import graph as G
+
+    return G.hits_sql(iterations=2)
+
+
 def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph connected components (operators/graph.py): chain test
     graph of known diameter driven through the hash-min label-propagation
@@ -1500,6 +1647,134 @@ Q_MEDIA_FEATURES_SQL = f"""
 """
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw robots.txt parsing (functions/robots.py): deterministic robots
+    bodies synthesized from supplier keys — comments, mixed-case keys, a
+    ``*`` group, an agent-specific group (RFC 9309 precedence: it must
+    SHADOW the ``*`` group), a never-matching third-party group, fractional
+    Crawl-delay. Output is exploded to driver-hashable rows
+    (host, kind, prefix, crawl_delay_ms)."""
+    from ospo_ghcrawler_spark.functions.robots import parse_robots_directives
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ks = k.cast("string")
+    nl = F.lit("\n")
+    txt = F.concat(
+        F.lit("# robots for host "), ks, nl,
+        F.lit("User-agent: *"), nl,
+        F.lit("Disallow: /private/"), nl,
+        F.when(k % 3 == 0, F.concat(F.lit("Disallow: /tmp/"), ks, F.lit("/"), nl)).otherwise(F.lit("")),
+        F.when(k % 3 == 1, F.concat(F.lit("Crawl-delay: "), (1 + k % 5).cast("string"), nl)).otherwise(F.lit("")),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                nl, F.lit("User-Agent: Ospo-Crawler  # our product token"), nl,
+                F.lit("Disallow: /drafts/"), nl,
+                F.lit("Allow: /drafts/public/"), nl,
+                F.lit("Crawl-delay: 0.5"), nl,
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 5 == 0,
+            F.concat(nl, F.lit("User-agent: BadBot"), nl, F.lit("Disallow: /"), nl),
+        ).otherwise(F.lit("")),
+    )
+    raw = s.select(
+        F.concat(F.lit("host"), ks, F.lit(".example")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    dirs = parse_robots_directives(raw, agent="ospo-crawler")
+    prefixes = (
+        dirs.filter(F.col("key").isin("disallow", "allow") & (F.col("val") != ""))
+        .select("host", F.col("key").alias("kind"), F.col("val").alias("prefix"))
+        .distinct()
+    )
+    delay = dirs.groupBy("host").agg(
+        (F.max(F.when(F.col("key") == "crawl-delay", F.expr("try_cast(val as double)"))) * 1000)
+        .cast("long")
+        .alias("crawl_delay_ms")
+    )
+    return prefixes.join(delay, "host", "left").select(
+        "host", "kind", "prefix", "crawl_delay_ms"
+    )
+
+
+Q_ROBOTS_PARSE_SQL = """
+    WITH raw AS (
+      SELECT 'host' || s_suppkey || '.example' AS host,
+             '# robots for host ' || s_suppkey || chr(10)
+             || 'User-agent: *' || chr(10)
+             || 'Disallow: /private/' || chr(10)
+             || CASE WHEN s_suppkey % 3 = 0
+                     THEN 'Disallow: /tmp/' || s_suppkey || '/' || chr(10) ELSE '' END
+             || CASE WHEN s_suppkey % 3 = 1
+                     THEN 'Crawl-delay: ' || (1 + s_suppkey % 5) || chr(10) ELSE '' END
+             || CASE WHEN s_suppkey % 2 = 0
+                     THEN chr(10) || 'User-Agent: Ospo-Crawler  # our product token' || chr(10)
+                          || 'Disallow: /drafts/' || chr(10)
+                          || 'Allow: /drafts/public/' || chr(10)
+                          || 'Crawl-delay: 0.5' || chr(10) ELSE '' END
+             || CASE WHEN s_suppkey % 5 = 0
+                     THEN chr(10) || 'User-agent: BadBot' || chr(10)
+                          || 'Disallow: /' || chr(10) ELSE '' END AS robots_txt
+      FROM supplier
+    ),
+    lines AS (
+      SELECT host, i AS pos, trim(regexp_replace(l[i], '#.*', '')) AS clean
+      FROM (SELECT host, string_split(robots_txt, chr(10)) AS l FROM raw)
+           CROSS JOIN (SELECT unnest(range(1, 64)) AS i)
+      WHERE i <= len(l)
+    ),
+    parsed AS (
+      SELECT host, pos,
+             lower(trim(regexp_extract(clean, '^([^:]+):', 1))) AS key,
+             trim(regexp_extract(clean, '^[^:]+:(.*)$', 1)) AS val
+      FROM lines
+    ),
+    d AS (
+      SELECT * FROM parsed
+      WHERE key IN ('user-agent', 'disallow', 'allow', 'crawl-delay')
+    ),
+    g AS (
+      SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY host ORDER BY pos) AS grp
+      FROM (
+        SELECT *, key = 'user-agent' AS is_ua,
+               COALESCE(LAG(key = 'user-agent')
+                          OVER (PARTITION BY host ORDER BY pos), FALSE) AS prev_ua
+        FROM d
+      )
+    ),
+    ga AS (
+      SELECT host, grp,
+             MAX(CASE WHEN is_ua AND lower(val) = '*' THEN 1 ELSE 0 END) = 1 AS has_star,
+             MAX(CASE WHEN is_ua AND lower(val) = 'ospo-crawler' THEN 1 ELSE 0 END) = 1 AS has_agent
+      FROM g WHERE grp > 0 GROUP BY host, grp
+    ),
+    hostlvl AS (SELECT host, MAX(has_agent) AS specific FROM ga GROUP BY host),
+    matched AS (
+      SELECT ga.host, ga.grp FROM ga JOIN hostlvl h USING (host)
+      WHERE CASE WHEN h.specific THEN ga.has_agent ELSE ga.has_star END
+    ),
+    dirs AS (
+      SELECT g.host, g.key, g.val FROM g
+      JOIN matched m ON g.host = m.host AND g.grp = m.grp
+      WHERE NOT g.is_ua
+    ),
+    delay AS (
+      SELECT host, CAST(MAX(TRY_CAST(val AS DOUBLE)) * 1000 AS BIGINT) AS crawl_delay_ms
+      FROM dirs WHERE key = 'crawl-delay' GROUP BY host
+    ),
+    prefixes AS (
+      SELECT DISTINCT host, key AS kind, val AS prefix
+      FROM dirs WHERE key IN ('disallow', 'allow') AND val <> ''
+    )
+    SELECT p.host, p.kind, p.prefix, d.crawl_delay_ms
+    FROM prefixes p LEFT JOIN delay d USING (host)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1538,12 +1813,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus curation
     "repeated_ngrams": q_repeated_ngrams,
     "repeated_ngram_scrub": q_repeated_ngram_scrub,
+    "paragraph_dedup": q_paragraph_dedup,
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
     "tfidf_top_terms": q_tfidf_top_terms,
     "shard_pack": q_shard_pack,
     "corpus_mix": q_corpus_mix,
     "link_pagerank": q_link_pagerank,
+    "link_hits": q_link_hits,
     # event-stream analytics
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
@@ -1551,7 +1828,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "refetch_schedule": q_refetch_schedule,
     "length_quantiles": q_length_quantiles,
     # webtext filtering
+    "robots_parse": q_robots_parse,
+    "surt_keys": q_surt_keys,
     "gopher_quality": q_gopher_quality,
+    "source_quality": q_source_quality,
     "url_trap": q_url_trap,
     "token_rarity": q_token_rarity,
     # clustering
@@ -1599,18 +1879,23 @@ ORACLES: dict[str, str] = {
     "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
     "repeated_ngrams": Q_REPEATED_NGRAMS_SQL,
     "repeated_ngram_scrub": Q_REPEATED_NGRAM_SCRUB_SQL,
+    "paragraph_dedup": CU.paragraph_dedup_sql(width=3),
     "decontaminate": Q_DECONTAMINATE_SQL,
     "pii_scrub": Q_PII_SCRUB_SQL,
     "tfidf_top_terms": Q_TFIDF_TOP_TERMS_SQL,
     "shard_pack": Q_SHARD_PACK_SQL,
     "corpus_mix": Q_CORPUS_MIX_SQL,
     "link_pagerank": _link_pagerank_sql(),
+    "link_hits": _link_hits_sql(),
     "sessionize": EV.sessionize_sql(),
     "session_stats": EV.session_stats_sql(),
     "asof_match": EV.asof_match_sql(),
     "refetch_schedule": EV.refetch_schedule_sql(),
     "length_quantiles": Q_LENGTH_QUANTILES_SQL,
+    "robots_parse": Q_ROBOTS_PARSE_SQL,
+    "surt_keys": Q_SURT_KEYS_SQL,
     "gopher_quality": Q_GOPHER_QUALITY_SQL,
+    "source_quality": Q_SOURCE_QUALITY_SQL,
     "url_trap": Q_URL_TRAP_SQL,
     "token_rarity": Q_TOKEN_RARITY_SQL,
     "kmeans_clusters": _kmeans_sql(),

@@ -159,3 +159,37 @@ def test_corpus_mix_shares_sum_to_one(spark):
     assert abs(sum(r["doc_share"] for r in out) - 1.0) < 1e-12
     assert sum(r["n_docs"] for r in out) == 4
     assert sum(r["total_tokens"] for r in out) == 10
+
+
+def test_paragraph_dedup_keeps_first_occurrence_only(spark):
+    # width=2 chunks: doc0 = [a b][c d], doc1 = [a b][e f], doc2 = [c d]
+    docs = _docs(spark, ["a b c d", "a b e f", "c d"])
+    out = {r["doc_id"]: r for r in CU.paragraph_dedup(docs, width=2).collect()}
+    exp = {0: "a b c d", 1: "e f", 2: ""}
+    for i, clean in exp.items():
+        assert out[i]["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+    assert (out[0]["n_chunks_kept"], out[0]["n_chunks_removed"]) == (2, 0)
+    assert (out[1]["n_chunks_kept"], out[1]["n_chunks_removed"]) == (1, 1)
+    assert (out[2]["n_chunks_kept"], out[2]["n_chunks_removed"]) == (0, 1)
+
+
+def test_paragraph_dedup_tail_chunk_and_empty_doc(spark):
+    # doc0's tail chunk [c] is shorter than width; doc1 is empty; doc2's
+    # single chunk [a b] duplicates doc0's first -> doc2 empties out
+    docs = _docs(spark, ["a b c", "", "a b"])
+    out = {r["doc_id"]: r for r in CU.paragraph_dedup(docs, width=2).collect()}
+    assert out[0]["clean_md5"] == hashlib.md5(b"a b c").hexdigest()
+    assert (out[1]["n_chunks_kept"], out[1]["n_chunks_removed"]) == (0, 0)
+    assert out[1]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    # "a b" as a standalone chunk differs from doc0's "a b" chunk only in
+    # text identity -- they ARE the same chunk text, so doc2 loses it
+    assert (out[2]["n_chunks_kept"], out[2]["n_chunks_removed"]) == (0, 1)
+    assert out[2]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_paragraph_dedup_partition_invariant(spark):
+    texts = [f"w{i % 7} w{(i * 3) % 7} w{(i * 5) % 11} pad{i % 4}" for i in range(40)]
+    docs = _docs(spark, texts)
+    a = sorted(map(tuple, CU.paragraph_dedup(docs, width=3).collect()))
+    b = sorted(map(tuple, CU.paragraph_dedup(docs.repartition(13), width=3).collect()))
+    assert a == b

@@ -80,3 +80,52 @@ def test_synthetic_edges_no_self_loops_and_in_range(spark):
     for r in rows:
         assert r["src"] != r["dst"]
         assert 0 <= r["dst"] < n
+
+
+def _ref_hits(n, edges, iterations):
+    """Driver-side sequential replica of the integer HITS recurrence."""
+    hub = {i: G.HITS_SCALE for i in range(n)}
+    auth = {}
+    for _ in range(iterations):
+        auth = {i: 0 for i in range(n)}
+        for s, d in edges:
+            auth[d] += hub[s]
+        m = max(max(auth.values()), 1)
+        auth = {i: a * G.HITS_SCALE // m for i, a in auth.items()}
+        hub = {i: 0 for i in range(n)}
+        for s, d in edges:
+            hub[s] += auth[d]
+        m = max(max(hub.values()), 1)
+        hub = {i: h * G.HITS_SCALE // m for i, h in hub.items()}
+    return {i: (hub[i], auth[i]) for i in range(n)}
+
+
+def test_hits_matches_sequential_reference(spark):
+    n = 40
+    docs = _docs(spark, n)
+    edge_rows = G.synthetic_link_edges(docs, n).collect()
+    edges = [(r["src"], r["dst"]) for r in edge_rows]
+    got = {
+        r["doc_id"]: (r["hub_fp"], r["auth_fp"])
+        for r in G.hits_fixed_point(docs, G.synthetic_link_edges(docs, n), 2).collect()
+    }
+    assert got == _ref_hits(n, edges, 2)
+    # a directory page (has outlinks) must carry hub mass; the max-normalized
+    # scores top out at exactly HITS_SCALE
+    assert max(h for h, _ in got.values()) == G.HITS_SCALE
+    assert max(a for _, a in got.values()) == G.HITS_SCALE
+
+
+def test_hits_invariant_to_partitioning(spark):
+    n = 60
+    docs = _docs(spark, n)
+    edges = G.synthetic_link_edges(docs, n)
+    base = sorted(
+        (r["doc_id"], r["hub_fp"], r["auth_fp"])
+        for r in G.hits_fixed_point(docs, edges, 2).collect()
+    )
+    skewed = sorted(
+        (r["doc_id"], r["hub_fp"], r["auth_fp"])
+        for r in G.hits_fixed_point(docs.repartition(13), edges.repartition(1), 2).collect()
+    )
+    assert base == skewed

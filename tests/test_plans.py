@@ -68,3 +68,32 @@ def test_winnow_fingerprint_no_exchange(spark):
     shuffle anywhere."""
     plan = _plan(spark, "winnow_fingerprint")
     assert "Exchange" not in plan
+
+
+def test_surt_keys_no_exchange(spark):
+    """SURT keying is a pure projection — it must ride the scan for free."""
+    plan = _plan(spark, "surt_keys")
+    assert "Exchange" not in plan
+
+
+def test_source_quality_single_exchange(spark):
+    """Per-source rollup = zero-shuffle stats + ONE map-side-combined agg."""
+    plan = _plan(spark, "source_quality")
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()  # map-side combine present
+
+
+def test_paragraph_dedup_scans_text_once(spark):
+    """One text scan; no Python in the path (pure JVM window + aggs)."""
+    plan = _plan(spark, "paragraph_dedup")
+    text_scans = sum(
+        1 for l in plan.splitlines() if "FileScan parquet" in l and "text" in l
+    )
+    assert text_scans == 1
+    assert "Python" not in plan
+
+
+def test_robots_parse_jvm_only(spark):
+    plan = _plan(spark, "robots_parse")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan

@@ -63,3 +63,19 @@ def test_canonicalize_idempotent():
     for raw, expected in CASES:
         if expected is not None:
             assert canonicalize_url(expected) == expected
+
+
+def test_surt_col_cdx_convention(spark):
+    from ospo_ghcrawler_spark.functions.urls import surt_col
+
+    cases = [
+        ("http://www.Example.com/a?b=2&a=1", "com,example)/a?a=1&b=2"),
+        ("https://sub.Host7.Example:443/P/Q#frag", "example,host7,sub)/P/Q"),
+        ("http://example.com", "com,example)/"),
+        ("http://www.example.com/?x=1", "com,example)/?x=1"),
+        # only ONE leading www. is stripped, and only as a full label
+        ("http://wwwx.example.com/p", "com,example,wwwx)/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["s"] for r in df.select(surt_col(F.col("url")).alias("s")).collect()]
+    assert got == [e for _, e in cases]
