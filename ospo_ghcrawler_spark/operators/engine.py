@@ -539,6 +539,9 @@ class Crawler:
         # place (broadcast joins, html never shuffles); a real network
         # fetcher repartitions `selected` by fetch_salt so one hot host
         # cannot straggle a task (the salt is already on the rows).
+        if debug_timing:
+            selected.count()  # profile-only: split batch-cache materialization
+            _mark("sel_mat")  # out of the harvest job's wall
         fetched = self.fetcher(selected, self.corpus, cfg)
         if "text" in fetched.columns and "links" in fetched.columns:
             extracted = fetched  # fetcher fused extraction into its Arrow pass

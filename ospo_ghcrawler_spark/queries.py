@@ -1239,6 +1239,70 @@ Q_GOPHER_QUALITY_SQL = f"""
 """
 
 
+def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 response-record headers (the Common-Crawl container
+    format) for every document — the export shape a downstream archive
+    ingests. Record IDs are deterministic (md5 of the target URI — CC uses
+    uuid4; determinism is what makes this oracle-able), dates derive from
+    doc_id, CRLF line endings per the WARC spec. Pure JVM projection, zero
+    shuffle: the formatter rides the corpus scan for free at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    uri = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    warc_date = F.date_format(
+        F.expr("timestampadd(SECOND, doc_id, timestamp'2024-01-01 00:00:00')"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    clen = F.octet_length("text")
+    rec_id = F.concat(F.lit("<urn:md5:"), F.md5(F.encode(uri, "UTF-8")), F.lit(">"))
+    crlf = F.lit("\r\n")
+    header = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: response"), crlf,
+        F.lit("WARC-Record-ID: "), rec_id, crlf,
+        F.lit("WARC-Date: "), warc_date, crlf,
+        F.lit("WARC-Target-URI: "), uri, crlf,
+        F.lit("Content-Type: text/html"), crlf,
+        F.lit("Content-Length: "), clen.cast("string"), crlf,
+    )
+    return docs.select(
+        "doc_id",
+        uri.alias("target_uri"),
+        warc_date.alias("warc_date"),
+        clen.cast("long").alias("content_length"),
+        rec_id.alias("record_id"),
+        F.md5(F.encode(header, "UTF-8")).alias("header_md5"),
+    )
+
+
+Q_WARC_EXPORT_SQL = """
+    WITH r AS (
+      SELECT doc_id,
+             'http://' || source || '.example/doc/' || doc_id AS target_uri,
+             strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                      '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+             octet_length(encode(text)) AS content_length
+      FROM documents
+    ),
+    h AS (
+      SELECT *, '<urn:md5:' || md5(target_uri) || '>' AS record_id FROM r
+    )
+    SELECT doc_id, target_uri, warc_date,
+           CAST(content_length AS BIGINT) AS content_length, record_id,
+           md5('WARC/1.0' || chr(13) || chr(10)
+               || 'WARC-Type: response' || chr(13) || chr(10)
+               || 'WARC-Record-ID: ' || record_id || chr(13) || chr(10)
+               || 'WARC-Date: ' || warc_date || chr(13) || chr(10)
+               || 'WARC-Target-URI: ' || target_uri || chr(13) || chr(10)
+               || 'Content-Type: text/html' || chr(13) || chr(10)
+               || 'Content-Length: ' || content_length || chr(13) || chr(10)
+              ) AS header_md5
+    FROM h
+"""
+
+
 def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level curation rollup (RefinedWeb-style: curate by SOURCE,
     not only by document): per source, doc count, Gopher keep rate, and
@@ -1830,6 +1894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # webtext filtering
     "robots_parse": q_robots_parse,
     "surt_keys": q_surt_keys,
+    "warc_export": q_warc_export,
     "gopher_quality": q_gopher_quality,
     "source_quality": q_source_quality,
     "url_trap": q_url_trap,
@@ -1894,6 +1959,7 @@ ORACLES: dict[str, str] = {
     "length_quantiles": Q_LENGTH_QUANTILES_SQL,
     "robots_parse": Q_ROBOTS_PARSE_SQL,
     "surt_keys": Q_SURT_KEYS_SQL,
+    "warc_export": Q_WARC_EXPORT_SQL,
     "gopher_quality": Q_GOPHER_QUALITY_SQL,
     "source_quality": Q_SOURCE_QUALITY_SQL,
     "url_trap": Q_URL_TRAP_SQL,
