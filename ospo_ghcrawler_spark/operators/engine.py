@@ -474,7 +474,7 @@ class Crawler:
                 )
                 .drop("bench_until")
             )
-        selected, n_selected, max_wake = select_batch(
+        selected, n_selected, max_wake, total_eligible = select_batch(
             eligible_frontier, self.host_budgets, cfg, step, min_host_budget=self._min_budget
         )
         _mark("select")
@@ -667,7 +667,27 @@ class Crawler:
             })
             .select(*self._frontier_names)
         ).cache()
-        n_new = new_rows.count() if cfg.collect_stats else -1
+        # provable termination (fast stop): the unbound-path stats job already
+        # showed this batch covers EVERY eligible-now row and nothing wakes
+        # later — if additionally no new edges survived dedup (and no retry /
+        # token-deferral re-entry is possible), the post-removal frontier
+        # provably holds no selectable row, so run() can stop WITHOUT the
+        # trailing empty-check selection. That final selection is pure fixed
+        # overhead on both legs of the N→4N scaling bench (it scans the
+        # next-frontier plan just to find it empty). Counting new_rows here
+        # is critical-path-neutral: the count populates the same cache the
+        # frontier write / next selection would have to materialize anyway.
+        fast_stop_possible = (
+            total_eligible is not None
+            and self.tokens_dim is None
+            and not cfg.expect_failures
+            and n_selected == total_eligible
+            and (max_wake is None or max_wake <= step)
+        )
+        n_new_exact = (
+            new_rows.count() if (cfg.collect_stats or fast_stop_possible) else None
+        )
+        n_new = n_new_exact if cfg.collect_stats else -1  # -1 = stats not collected
         _mark("new_rows")
 
         # ---- retries & dead letters ----------------------------------------
@@ -766,6 +786,9 @@ class Crawler:
             "selected": n_selected,
             "new_edges": n_new,
             "bounced": int(n_edges_raw - n_new),
+            # frontier provably empty after this commit → run() stops without
+            # the trailing empty-check selection (see fast_stop_possible)
+            "exhausted": bool(fast_stop_possible and n_new_exact == 0),
         }
         metrics_all = metrics.unionByName(run_row)
         self._last_metrics = metrics  # parquet-rooted plan for next benches
@@ -1000,6 +1023,8 @@ class Crawler:
                 totals["supersteps"] += 1
                 for k in ("selected", "new_edges", "bounced"):
                     totals[k] += stats[k]
+                if stats.get("exhausted"):
+                    break  # frontier provably empty — skip the empty-check step
         finally:
             self._await_pending()  # run() returns only fully committed
         return totals

@@ -77,8 +77,9 @@ def select_batch(
     cfg: CrawlConfig,
     step: int,
     min_host_budget: int | None = None,
-) -> tuple[DataFrame, int, int | None]:
-    """(selected batch, its row count, max future wake-up step or None).
+) -> tuple[DataFrame, int, int | None, int | None]:
+    """(selected batch, its row count, max future wake-up step or None,
+    total statically-eligible-now row count or None).
 
     Exactly ONE Spark job runs here (the per-priority stats aggregation);
     the selected row count is derived from quotas vs availability (a
@@ -92,7 +93,13 @@ def select_batch(
     fast path. On that path the same stats job also returns the max future
     ``not_before_step`` so an empty selection needs NO extra job to decide
     idle-advance vs termination (max_wake is None on the windowed path —
-    the caller computes it lazily, only when the selection is empty).
+    the caller computes it lazily, only when the selection is empty), plus
+    the TOTAL eligible-now count — when the batch covers it entirely and
+    max_wake ≤ step, the caller can prove the post-removal frontier holds
+    no selectable rows and terminate without running another selection
+    (provable-termination fast stop; the trailing empty-check superstep is
+    pure fixed overhead on both legs of the N→4N scaling bench).
+    ``total_eligible`` is None on the windowed path.
     """
     static = frontier.filter(F.col("depth") <= cfg.max_depth)
     if cfg.allowed_hosts is not None:
@@ -101,6 +108,7 @@ def select_batch(
 
     budget_unbound = min_host_budget is not None and min_host_budget >= cfg.batch_size
     max_wake: int | None = None
+    total_eligible: int | None = None
     if budget_unbound:
         budgeted = eligible.withColumn("_host_rank", F.lit(1))
         # one job: per-priority eligible counts + the future wake horizon
@@ -115,6 +123,7 @@ def select_batch(
         avail = {r["priority"]: r["cnt"] for r in stats if r["cnt"] > 0}
         wakes = [r["wake"] for r in stats if r["wake"] is not None]
         max_wake = max(wakes) if wakes else None
+        total_eligible = sum(avail.values())
     else:
         # per-host politeness rank (many hosts → well-distributed window)
         w_host = Window.partitionBy("host").orderBy(
@@ -152,7 +161,7 @@ def select_batch(
         empty = budgeted.filter(F.lit(False)).drop("_host_rank")
         if not budget_unbound:
             budgeted.unpersist()
-        return empty.withColumn("fetch_salt", F.lit(0)), 0, max_wake
+        return empty.withColumn("fetch_salt", F.lit(0)), 0, max_wake, total_eligible
     selected = reduce(lambda a, b: a.unionByName(b), picks).drop("_host_rank")
 
     # hot-host salting: spread mega-hosts across all fetch partitions.
@@ -181,4 +190,4 @@ def select_batch(
         # path stays fully lazy — its first consumer materializes it)
         out.count()
         budgeted.unpersist()
-    return out, n, max_wake
+    return out, n, max_wake, total_eligible

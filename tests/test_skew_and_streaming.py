@@ -26,7 +26,7 @@ def test_hot_host_salting_spreads_partitions(spark, tmp_path):
     c = Crawler(spark, str(tmp_path / "cat"), corpus, robots, cfg, run_id="skew")
     c.seed([page_url(i, N, H, True) for i in range(0, 600, 3)])
     frontier = c.catalog.table("frontier").read()
-    selected, n, _wake = select_batch(frontier, c.host_budgets, cfg, 0, min_host_budget=0)
+    selected, n, _wake, _tot = select_batch(frontier, c.host_budgets, cfg, 0, min_host_budget=0)
     hot = selected.filter(F.col("host") == "host0.example")
     n_hot = hot.count()
     assert n_hot > 50, "fixture: host0 must dominate the batch"
