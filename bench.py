@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "refetch_schedule", "sessionize", "session_stats", "asof_match",
     "shard_pack", "decontaminate", "clean_corpus", "paragraph_dedup",
     "tfidf_top_terms", "link_pagerank", "link_hits", "link_components",
+    "redirect_resolve", "anchor_texts", "snapshot_diff",
     "kmeans_clusters", "cluster_sample", "repeated_ngrams",
     "repeated_ngram_scrub", "binary_meta", "media_features",
     "embedding_topk", "ann_lsh", "ann_ivf",
@@ -212,11 +213,18 @@ def _leg_jvm_conf(cores: int) -> dict[str, str]:
     so efficiency was 0.563 pinned vs 0.638 unpinned — within noise,
     leaning against. Default OFF; SPARK_GRAFT_BENCH_APC=1 re-enables for
     re-measurement on a quieter host."""
-    if os.environ.get("SPARK_GRAFT_BENCH_APC", "0") != "1":
+    opts = []
+    if os.environ.get("SPARK_GRAFT_BENCH_APC", "0") == "1":
+        opts.append(f"-XX:ActiveProcessorCount={cores}")
+    # experiment seam (scripts/ab_hi_leg.py): extra JVM flags applied to
+    # EVERY measured leg identically — e.g. a GC collector A/B on the
+    # shared-bus-loaded host. Never set per-side.
+    extra = os.environ.get("SPARK_GRAFT_LEG_JAVA_OPTS", "").strip()
+    if extra:
+        opts.append(extra)
+    if not opts:
         return {}
-    return {
-        "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}",
-    }
+    return {"spark.driver.extraJavaOptions": " ".join(opts)}
 
 
 def _dir_bytes(d: str) -> int:

@@ -276,3 +276,77 @@ def link_components_sql(block: int = CC_BLOCK) -> str:
     SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
     FROM reach GROUP BY a
     """
+
+
+# Anchor-text vocabulary size for the synthetic generator (real crawls
+# carry the anchor string on the edge; the generator derives a token from
+# the edge endpoints so the SQL oracle replicates it with plain BIGINT
+# arithmetic).
+ANCHOR_VOCAB = 23
+
+
+def anchor_texts(edges: DataFrame, top_k: int = 3) -> DataFrame:
+    """Per-target top-k anchor texts — the classic link-context signal a
+    web corpus attaches to each page (search/training pipelines treat
+    aggregated anchor text as a page-quality and topic feature; the
+    reference has no link-graph analytics at all — beyond-reference op per
+    SURVEY.md §2.8).
+
+    *edges* is (src, dst, anchor) — or (src, dst), in which case a
+    deterministic synthetic anchor token ``w{(src·31 + dst·7) mod V}`` is
+    derived so the oracle can replicate it.
+
+    Scale posture (10^10-edge graph): the groupBy pre-aggregates with
+    map-side combine, so the window stage ranks at most |vocab-per-target|
+    rows per dst — never the raw edge multiplicity; two shuffles total
+    (count groupBy, top-k window on dst). Ties break on the anchor string,
+    so (dst, anchor) uniqueness makes row_number deterministic.
+
+    Returns (dst, anchor, n_links, rk) for rk ≤ top_k.
+    """
+    from pyspark.sql.window import Window
+
+    if "anchor" not in edges.columns:
+        edges = edges.select(
+            "dst",
+            F.concat(
+                F.lit("w"),
+                ((F.col("src") * 31 + F.col("dst") * 7) % ANCHOR_VOCAB).cast(
+                    "string"
+                ),
+            ).alias("anchor"),
+        )
+    counts = edges.groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("n_links"))
+    w = Window.partitionBy("dst").orderBy(F.desc("n_links"), F.asc("anchor"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("dst", "anchor", "n_links", "rk")
+    )
+
+
+def anchor_texts_sql(top_k: int = 3) -> str:
+    """Exact-replica oracle over the synthetic_link_edges graph with the
+    derived anchor tokens."""
+    edge_terms = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{EDGE_A} + {EDGE_C} + {j}*{EDGE_J}) % "
+        f"(SELECT c FROM n) AS dst FROM documents"
+        for j in range(EDGE_FANOUT)
+    )
+    return f"""
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    edges AS (SELECT src, dst FROM ({edge_terms}) WHERE src <> dst),
+    a AS (
+      SELECT dst, 'w' || ((src*31 + dst*7) % {ANCHOR_VOCAB}) AS anchor
+      FROM edges
+    ),
+    counts AS (SELECT dst, anchor, count(*) AS n_links FROM a GROUP BY dst, anchor),
+    ranked AS (
+      SELECT dst, anchor, n_links,
+             row_number() OVER (PARTITION BY dst ORDER BY n_links DESC, anchor ASC)
+               AS rk
+      FROM counts
+    )
+    SELECT dst, anchor, n_links, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {top_k}
+    """

@@ -1839,6 +1839,108 @@ Q_ROBOTS_PARSE_SQL = """
 """
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py) — pointer
+    doubling maps every redirecting URL to its terminal target + hop count
+    in O(log chain) self-joins of the (small) redirect map; the oracle is
+    the identical walk as a recursive CTE."""
+    from ospo_ghcrawler_spark.operators import redirects as RD
+
+    docs = _t(spark, sf_dir, "documents")
+    return RD.resolve_redirects(RD.synthetic_redirect_edges(docs))
+
+
+def _redirect_resolve_sql() -> str:
+    from ospo_ghcrawler_spark.operators import redirects as RD
+
+    return RD.redirect_resolve_sql()
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target top-k anchor texts (operators/graph.py:anchor_texts) —
+    aggregated link context as a page-quality/topic feature; map-side
+    combined count + one bounded window shuffle."""
+    from ospo_ghcrawler_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return G.anchor_texts(G.synthetic_link_edges(docs, n))
+
+
+def _anchor_texts_sql() -> str:
+    from ospo_ghcrawler_spark.operators import graph as G
+
+    return G.anchor_texts_sql()
+
+
+# snapshot-diff constants: which docs the simulated re-crawl mutates,
+# drops, or adds (plain modular arithmetic so the oracle replicates the
+# second snapshot exactly). NEW_OFFSET keeps added ids disjoint from any
+# realistic doc_id range at test SFs.
+DIFF_DEL_MOD = 13
+DIFF_CHG_MOD = 7
+DIFF_NEW_MOD = 17
+DIFF_NEW_OFFSET = 10_000_000
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff — the corpus-level form of the engine's
+    etag/change detection (control.py:requeue_for_refetch uses the md5
+    content fingerprint per url; a monthly-crawl pipeline needs the same
+    signal across WHOLE snapshots). Snapshot v2 is derived
+    deterministically from v1: doc_id % 13 == 0 deleted, % 7 == 0 mutated,
+    and a disjoint id range added. One full-outer join on doc_id comparing
+    md5 fingerprints — at 100 TB the join shuffles only (id, 32-byte hash)
+    pairs, never text (fingerprints come from the fetch-time featurization
+    already on the pages table)."""
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h1"))
+    kept = docs.filter(F.col("doc_id") % DIFF_DEL_MOD != 0)
+    v2 = kept.select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % DIFF_CHG_MOD == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % DIFF_NEW_MOD == 0).select(
+            (F.col("doc_id") + DIFF_NEW_OFFSET).alias("doc_id"),
+            F.md5(F.concat(F.lit("new:"), F.col("text"))).alias("h2"),
+        )
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("h1").isNull(), F.lit("new"))
+        .when(F.col("h2").isNull(), F.lit("deleted"))
+        .when(F.col("h1") == F.col("h2"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+Q_SNAPSHOT_DIFF_SQL = f"""
+    WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % {DIFF_CHG_MOD} = 0
+                      THEN text || ' [rev2]' ELSE text END) AS h2
+      FROM documents WHERE doc_id % {DIFF_DEL_MOD} <> 0
+      UNION ALL
+      SELECT doc_id + {DIFF_NEW_OFFSET} AS doc_id, md5('new:' || text) AS h2
+      FROM documents WHERE doc_id % {DIFF_NEW_MOD} = 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'new'
+                WHEN v2.doc_id IS NULL THEN 'deleted'
+                WHEN v1.h1 = v2.h2 THEN 'same'
+                ELSE 'changed' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1899,6 +2001,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quality": q_source_quality,
     "url_trap": q_url_trap,
     "token_rarity": q_token_rarity,
+    "redirect_resolve": q_redirect_resolve,
+    "anchor_texts": q_anchor_texts,
+    "snapshot_diff": q_snapshot_diff,
     # clustering
     "kmeans_clusters": q_kmeans_clusters,
     "cluster_sample": q_cluster_sample,
@@ -1964,6 +2069,9 @@ ORACLES: dict[str, str] = {
     "source_quality": Q_SOURCE_QUALITY_SQL,
     "url_trap": Q_URL_TRAP_SQL,
     "token_rarity": Q_TOKEN_RARITY_SQL,
+    "redirect_resolve": _redirect_resolve_sql(),
+    "anchor_texts": _anchor_texts_sql(),
+    "snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
     "kmeans_clusters": _kmeans_sql(),
     "cluster_sample": _cluster_sample_sql(),
     "link_components": _link_components_sql(),

@@ -14,7 +14,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_HOSTS, LINKS, SENTENCES = 200, 25, 60
+N_HOSTS, LINKS, SENTENCES = 200, 25, int(os.environ.get("SPARK_GRAFT_BENCH_SENTENCES", "40"))
 
 
 def build(n_pages: int, d: str) -> None:
