@@ -129,7 +129,7 @@ BENCH_QUERIES = [
     "refetch_schedule", "sessionize", "session_stats", "asof_match",
     "shard_pack", "decontaminate", "clean_corpus", "paragraph_dedup",
     "tfidf_top_terms", "link_pagerank", "link_hits", "link_components",
-    "redirect_resolve", "anchor_texts", "snapshot_diff",
+    "sitemap_parse", "redirect_resolve", "anchor_texts", "snapshot_diff",
     "kmeans_clusters", "cluster_sample", "repeated_ngrams",
     "repeated_ngram_scrub", "binary_meta", "media_features",
     "embedding_topk", "ann_lsh", "ann_ivf",

@@ -1839,6 +1839,79 @@ Q_ROBOTS_PARSE_SQL = """
 """
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (functions/sitemaps.py): deterministic sitemap
+    bodies synthesized from supplier keys — every 4th host serves a
+    ``<sitemapindex>`` (two child sitemaps), the rest a ``<urlset>`` of
+    three urls exercising entity-escaped locs, date-only and full-datetime
+    lastmod, the whole changefreq vocabulary, fractional priority, and
+    missing optional fields."""
+    from ospo_ghcrawler_spark.functions.sitemaps import parse_sitemap_entries
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ks = k.cast("string")
+    host = F.concat(F.lit("host"), ks, F.lit(".example"))
+    cf_word = F.element_at(
+        F.array(*[F.lit(w) for w in
+                  ("always", "hourly", "daily", "weekly", "monthly", "yearly")]),
+        (k % 6 + 1).cast("int"),
+    )
+    urlset = F.concat(
+        F.lit("<urlset>\n <url>\n  <loc> http://"), host, F.lit("/a?x=1&amp;y=2 </loc>\n"),
+        F.lit("  <lastmod>2026-0"), (k % 9 + 1).cast("string"), F.lit("-15</lastmod>\n"),
+        F.lit("  <changefreq>"), F.upper(cf_word), F.lit("</changefreq>\n"),
+        F.lit("  <priority>0."), (k % 10).cast("string"), F.lit("</priority>\n </url>\n"),
+        F.lit(" <url><loc>http://"), host, F.lit("/b</loc>"),
+        F.lit("<lastmod>2026-05-01T12:30:00+00:00</lastmod></url>\n"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit(" <url>\n  <loc>http://"), host, F.lit("/c</loc>\n </url>\n")),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex>\n <sitemap><loc>http://"), host,
+        F.lit("/sitemap-a.xml</loc><lastmod>2026-07-01</lastmod></sitemap>\n"),
+        F.lit(" <sitemap>\n  <loc>http://"), host,
+        F.lit("/sitemap-b.xml</loc>\n </sitemap>\n</sitemapindex>"),
+    )
+    raw = s.select(
+        host.alias("host"),
+        F.when(k % 4 == 0, index).otherwise(urlset).alias("sitemap_xml"),
+    )
+    return parse_sitemap_entries(raw)
+
+
+def _sitemap_parse_sql() -> str:
+    from ospo_ghcrawler_spark.functions.sitemaps import sitemap_entries_sql
+
+    raw_cte = """raw AS (
+      SELECT 'host' || s_suppkey || '.example' AS host,
+             CASE WHEN s_suppkey % 4 = 0 THEN
+               '<sitemapindex>' || chr(10) ||
+               ' <sitemap><loc>http://host' || s_suppkey || '.example/sitemap-a.xml</loc><lastmod>2026-07-01</lastmod></sitemap>' || chr(10) ||
+               ' <sitemap>' || chr(10) || '  <loc>http://host' || s_suppkey || '.example/sitemap-b.xml</loc>' || chr(10) || ' </sitemap>' || chr(10) ||
+               '</sitemapindex>'
+             ELSE
+               '<urlset>' || chr(10) ||
+               ' <url>' || chr(10) ||
+               '  <loc> http://host' || s_suppkey || '.example/a?x=1&amp;y=2 </loc>' || chr(10) ||
+               '  <lastmod>2026-0' || (s_suppkey % 9 + 1) || '-15</lastmod>' || chr(10) ||
+               '  <changefreq>' || upper(['always','hourly','daily','weekly','monthly','yearly'][(s_suppkey % 6 + 1)]) || '</changefreq>' || chr(10) ||
+               '  <priority>0.' || (s_suppkey % 10) || '</priority>' || chr(10) ||
+               ' </url>' || chr(10) ||
+               ' <url><loc>http://host' || s_suppkey || '.example/b</loc><lastmod>2026-05-01T12:30:00+00:00</lastmod></url>' || chr(10) ||
+               (CASE WHEN s_suppkey % 3 = 0 THEN
+                 ' <url>' || chr(10) || '  <loc>http://host' || s_suppkey || '.example/c</loc>' || chr(10) || ' </url>' || chr(10)
+               ELSE '' END) ||
+               '</urlset>'
+             END AS sitemap_xml
+      FROM supplier
+    )"""
+    return sitemap_entries_sql(raw_cte)
+
+
 def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (operators/redirects.py) — pointer
     doubling maps every redirecting URL to its terminal target + hop count
@@ -2001,6 +2074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quality": q_source_quality,
     "url_trap": q_url_trap,
     "token_rarity": q_token_rarity,
+    "sitemap_parse": q_sitemap_parse,
     "redirect_resolve": q_redirect_resolve,
     "anchor_texts": q_anchor_texts,
     "snapshot_diff": q_snapshot_diff,
@@ -2069,6 +2143,7 @@ ORACLES: dict[str, str] = {
     "source_quality": Q_SOURCE_QUALITY_SQL,
     "url_trap": Q_URL_TRAP_SQL,
     "token_rarity": Q_TOKEN_RARITY_SQL,
+    "sitemap_parse": _sitemap_parse_sql(),
     "redirect_resolve": _redirect_resolve_sql(),
     "anchor_texts": _anchor_texts_sql(),
     "snapshot_diff": Q_SNAPSHOT_DIFF_SQL,

@@ -97,3 +97,12 @@ def test_robots_parse_jvm_only(spark):
     plan = _plan(spark, "robots_parse")
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_anchor_texts_bounded_exchanges(spark):
+    """count groupBy (map-side combined) + the top-k window on dst — the
+    window must rank pre-aggregated (dst, anchor) rows, never raw edges."""
+    plan = _plan(spark, "anchor_texts")
+    assert plan.count("Exchange") <= 3
+    assert "HashAggregate" in plan  # partial agg before the window
+    assert "CartesianProduct" not in plan
