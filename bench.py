@@ -129,7 +129,8 @@ BENCH_QUERIES = [
     "refetch_schedule", "sessionize", "session_stats", "asof_match",
     "shard_pack", "decontaminate", "clean_corpus", "paragraph_dedup",
     "tfidf_top_terms", "link_pagerank", "link_hits", "link_components",
-    "sitemap_parse", "redirect_resolve", "anchor_texts", "snapshot_diff",
+    "sitemap_parse", "registered_domain", "refetch_priority",
+    "redirect_resolve", "anchor_texts", "snapshot_diff",
     "kmeans_clusters", "cluster_sample", "repeated_ngrams",
     "repeated_ngram_scrub", "binary_meta", "media_features",
     "embedding_topk", "ann_lsh", "ann_ivf",
@@ -981,12 +982,49 @@ def main() -> None:
             result["query_deltas_sec"] = deltas
 
         result["value"] = round(sum(timings.values()), 3)
+        _append_run_log(result)
         partial.update({"phase": "done", "result": result})
         _write_partial(partial)
         _write_baseline_md(result, prev_n, locals())
         print(json.dumps(result))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _append_run_log(result: dict) -> None:
+    """One line per COMPLETED bench run (BENCH/runs.jsonl): the shared
+    host's speed swings >2x between hours and the measured efficiency
+    tracks it, so a single run is a weak sample — the log lets BASELINE.md
+    disclose every completed run (nothing dropped) and mark the best,
+    which is the same min-of-N protocol the in-run rep policy already
+    applies, extended across runs."""
+    crawl = result.get("crawl")
+    if not crawl:
+        return
+    os.makedirs("BENCH", exist_ok=True)
+    line = {
+        "wall_clock": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        "sf": result.get("sf"),
+        "corpus_pages": crawl["corpus_pages"],
+        "efficiency": crawl["scaling_efficiency_N_to_4N"],
+        "reps_per_leg": crawl["reps_per_leg"],
+        "rep_walls_sec": crawl["rep_walls_sec"],
+        "deterministic": crawl["deterministic_across_parallelism"],
+        "host_slowdown_vs_round2": crawl.get("calibration", {}).get(
+            "host_slowdown_vs_round2"
+        ),
+        "urls_settled": crawl["urls_settled"],
+    }
+    with open("BENCH/runs.jsonl", "a") as f:
+        f.write(json.dumps(line) + "\n")
+
+
+def _run_history() -> list[dict]:
+    try:
+        with open("BENCH/runs.jsonl") as f:
+            return [json.loads(l) for l in f if l.strip()]
+    except OSError:
+        return []
 
 
 def _write_baseline_md(result: dict, prev_n: int | None, ctx: dict) -> None:
@@ -1050,6 +1088,27 @@ def _write_baseline_md(result: dict, prev_n: int | None, ctx: dict) -> None:
             "see BENCH/SCALING_NOTES.md §3e for the probe and analysis).",
             "",
         ]
+    hist = _run_history()
+    if len(hist) > 1 or (hist and not crawl):
+        best = max(h["efficiency"] for h in hist)
+        lines += [
+            "## All completed runs this round (nothing dropped; best in bold)",
+            "",
+            "The shared host's speed swings >2× between hours and the measured",
+            "ratio tracks it (BENCH/SCALING_NOTES.md §3b/§3f/§3h) — the protocol",
+            "answer is repetition with full disclosure: equal-rep min-of-N inside",
+            "a run, and every completed run logged here (BENCH/runs.jsonl).",
+            "",
+            "| when | pages | reps/leg | host slowdown vs r2 | efficiency |",
+            "|---|---|---|---|---|",
+        ]
+        for h in hist:
+            e = f"**{h['efficiency']:.3f}**" if h["efficiency"] == best else f"{h['efficiency']:.3f}"
+            lines.append(
+                f"| {h['wall_clock']} | {h['corpus_pages']} | {h['reps_per_leg']} "
+                f"| {h.get('host_slowdown_vs_round2', '?')}× | {e} |"
+            )
+        lines.append("")
     if result.get("errors"):
         lines += ["## Incomplete legs", "", f"Errors: {result['errors']}", ""]
     pol = result.get("crawl_polite")

@@ -205,3 +205,53 @@ def urn_to_blob_path(urn: Column) -> Column:
     """URN → storage path, the reference's blob-naming rewrite
     (storageDocStore.js:199-215): ':'→'/', lowercase, '.json' suffix."""
     return F.concat(F.regexp_replace(F.lower(urn), ":", "/"), F.lit(".json"))
+
+
+# Public-suffix-lite: the multi-label public suffixes a registered-domain
+# heuristic must know beyond the "last two labels" default. The full PSL is
+# a Mozilla-maintained data file a production deployment ships alongside
+# the job; this embedded subset covers the high-traffic two-level suffixes
+# and keeps the expression a pure JVM CASE — the contract (and the SQL
+# oracle) is identical whichever suffix set is plugged in.
+PUBLIC_SUFFIXES_2 = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Registered domain (site identity) from a hostname — the unit of
+    domain-level corpus curation (RefinedWeb-style per-site quality
+    weighting, mirror collapse, per-site caps) and of politeness grouping
+    above the host level. ``a.b.example.co.uk`` → ``example.co.uk``;
+    ``www.example.com`` → ``example.com``; bare or single-label hosts pass
+    through. Pure JVM string/array expressions — zero shuffle, rides any
+    scan that carries a host column."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    is_ps2 = F.lower(last2).isin(*PUBLIC_SUFFIXES_2)
+    return (
+        F.when(n <= 2, host)
+        .when(is_ps2 & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def registered_domain_sql_expr(host_expr: str) -> str:
+    """DuckDB replica of :func:`registered_domain_col` over *host_expr*."""
+    sfx = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2)
+    parts = f"string_split({host_expr}, '.')"
+    return f"""CASE
+      WHEN len({parts}) <= 2 THEN {host_expr}
+      WHEN lower({parts}[-2] || '.' || {parts}[-1]) IN ({sfx}) AND len({parts}) >= 3
+        THEN {parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1]
+      ELSE {parts}[-2] || '.' || {parts}[-1]
+    END"""

@@ -1839,6 +1839,101 @@ Q_ROBOTS_PARSE_SQL = """
 """
 
 
+def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup (functions/urls.py:registered_domain_col —
+    public-suffix-lite): the site-identity grouping for domain-level
+    curation (RefinedWeb-style per-site weighting, mirror collapse) and
+    above-host politeness. Messy synthesized hostnames exercise multi-label
+    subdomains, two-level public suffixes, default two-label domains, and
+    single-label passthrough. One map-side-combined groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), (F.col("o_custkey") % 50).cast("string")
+    host = (
+        F.when(k % 5 == 0, F.concat(F.lit("www.shop"), c, F.lit(".co.uk")))
+        .when(k % 5 == 1, F.concat(F.lit("a.b.site"), c, F.lit(".com")))
+        .when(k % 5 == 2, F.concat(F.lit("cdn"), (k % 3).cast("string"),
+                                   F.lit(".media"), c, F.lit(".com.au")))
+        .when(k % 5 == 3, F.concat(F.lit("host"), c, F.lit(".example")))
+        .otherwise(F.concat(F.lit("intranet"), c))
+    )
+    h = o.select(host.alias("host"))
+    return (
+        h.select("host", U.registered_domain_col(F.col("host")).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+def _registered_domain_sql() -> str:
+    dom = U.registered_domain_sql_expr("host")
+    return f"""
+    WITH h AS (
+      SELECT CASE
+        WHEN o_orderkey % 5 = 0 THEN 'www.shop' || (o_custkey % 50) || '.co.uk'
+        WHEN o_orderkey % 5 = 1 THEN 'a.b.site' || (o_custkey % 50) || '.com'
+        WHEN o_orderkey % 5 = 2 THEN 'cdn' || (o_orderkey % 3) || '.media' || (o_custkey % 50) || '.com.au'
+        WHEN o_orderkey % 5 = 3 THEN 'host' || (o_custkey % 50) || '.example'
+        ELSE 'intranet' || (o_custkey % 50)
+      END AS host
+      FROM orders
+    )
+    SELECT {dom} AS domain, count(*) AS n_urls, count(DISTINCT host) AS n_hosts
+    FROM h GROUP BY 1
+    """
+
+
+# changefreq vocabulary order shared by q_sitemap_parse / q_refetch_priority
+_CF_WORDS = ("always", "hourly", "daily", "weekly", "monthly", "yearly")
+
+
+def q_refetch_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused recrawl scheduling: the OBSERVED change rate
+    (events.refetch_schedule — telescoping mean gap) bounded by the
+    publisher's sitemap ``changefreq`` hint (functions/sitemaps.py
+    vocabulary): ``next_due = last_seen + min(mean_gap, hint)``. A page
+    that changes faster than its sitemap claims is recrawled at the
+    observed rate; a stale hint never delays a hot page, and a sparse
+    observation history defers to the hint. Same single-shuffle shape as
+    refetch_schedule; the hint is a pure projection."""
+    from ospo_ghcrawler_spark.functions.sitemaps import CHANGEFREQ_S
+
+    base = EV.refetch_schedule(_t(spark, sf_dir, "events"))
+    word = F.element_at(
+        F.array(*[F.lit(w) for w in _CF_WORDS]),
+        (F.col("user_id") % 6 + 1).cast("int"),
+    )
+    hint_us = F.element_at(
+        F.array(*[F.lit(CHANGEFREQ_S[w] * 1_000_000).cast("long") for w in _CF_WORDS]),
+        (F.col("user_id") % 6 + 1).cast("int"),
+    )
+    return base.select(
+        "user_id",
+        "n_obs",
+        "mean_gap_us",
+        word.alias("changefreq"),
+        (F.col("last_us") + F.least(F.col("mean_gap_us"), hint_us)).alias(
+            "next_due_fused_us"
+        ),
+    )
+
+
+def _refetch_priority_sql() -> str:
+    from ospo_ghcrawler_spark.functions.sitemaps import CHANGEFREQ_S
+
+    words = ", ".join(f"'{w}'" for w in _CF_WORDS)
+    hints = ", ".join(str(CHANGEFREQ_S[w] * 1_000_000) for w in _CF_WORDS)
+    return f"""
+    SELECT user_id, n_obs, mean_gap_us,
+           ([{words}])[CAST(user_id % 6 + 1 AS INTEGER)] AS changefreq,
+           last_us + least(mean_gap_us,
+             ([{hints}])[CAST(user_id % 6 + 1 AS INTEGER)]) AS next_due_fused_us
+    FROM ({EV.refetch_schedule_sql()})
+    """
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap parsing (functions/sitemaps.py): deterministic sitemap
     bodies synthesized from supplier keys — every 4th host serves a
@@ -2074,6 +2169,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quality": q_source_quality,
     "url_trap": q_url_trap,
     "token_rarity": q_token_rarity,
+    "registered_domain": q_registered_domain,
+    "refetch_priority": q_refetch_priority,
     "sitemap_parse": q_sitemap_parse,
     "redirect_resolve": q_redirect_resolve,
     "anchor_texts": q_anchor_texts,
@@ -2143,6 +2240,8 @@ ORACLES: dict[str, str] = {
     "source_quality": Q_SOURCE_QUALITY_SQL,
     "url_trap": Q_URL_TRAP_SQL,
     "token_rarity": Q_TOKEN_RARITY_SQL,
+    "registered_domain": _registered_domain_sql(),
+    "refetch_priority": _refetch_priority_sql(),
     "sitemap_parse": _sitemap_parse_sql(),
     "redirect_resolve": _redirect_resolve_sql(),
     "anchor_texts": _anchor_texts_sql(),

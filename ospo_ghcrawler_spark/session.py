@@ -55,8 +55,16 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             f"{pkg_parent}{os.pathsep}{env_pp}" if env_pp else pkg_parent
         )
+    # Master template seam: SPARK_GRAFT_MASTER="local-cluster[{cores},1,6144]"
+    # swaps thread-based local[k] for REAL separate executor JVMs (the
+    # closest in-sandbox shape to the north rule's "N and 4N executors");
+    # "{cores}" is substituted with the requested parallelism. Production
+    # deployments ignore this and size via spark-submit (scripts/run_crawl.py).
+    master = os.environ.get("SPARK_GRAFT_MASTER", "local[{cores}]").format(
+        cores=cores
+    )
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
@@ -76,6 +84,10 @@ def get_spark(
         # ~4 waves/core at bench scale; real clusters tune per table size.
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "4g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
