@@ -127,7 +127,8 @@ BENCH_QUERIES = [
     "sample_stratified", "robots_parse", "surt_keys", "source_quality",
     "warc_export", "pii_scrub", "corpus_mix", "length_quantiles",
     "refetch_schedule", "sessionize", "session_stats", "asof_match",
-    "shard_pack", "decontaminate", "clean_corpus", "paragraph_dedup",
+    "shard_pack", "decontaminate", "decontaminate_bloom", "clean_corpus",
+    "paragraph_dedup",
     "tfidf_top_terms", "link_pagerank", "link_hits", "link_components",
     "sitemap_parse", "registered_domain", "refetch_priority",
     "redirect_resolve", "anchor_texts", "snapshot_diff",

@@ -426,3 +426,50 @@ def corpus_mix(docs: DataFrame) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         (F.count("*") / F.lit(float(n_total))).alias("doc_share"),
     )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    n: int = 8,
+    eval_mod: int = 17,
+    shards: int = 8,
+    bits_per_shard: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """:func:`decontaminate` for eval sets too large to broadcast as a gram
+    table: the eval grams build a distributed bloom (dedup.py machinery —
+    only shards × bits/8 bytes ever reach the driver), the 100-TB training
+    side probes the bitmap in one Arrow pass, and ONLY bloom-positive grams
+    pay the exact verification join. Bloom false positives cannot leak into
+    the output (the verify join removes them) and false negatives do not
+    exist, so the result is row-identical to the broadcast-join operator —
+    pinned by test and by sharing its SQL oracle.
+
+    Shuffle accounting at scale: the full-corpus gram stream is never
+    shuffled (projection + bitmap probe ride the scan); the verify join
+    shuffles the flagged subset (≈ true contamination + bloom FP rate) plus
+    one pass of eval grams; the per-doc rollup shuffles flagged docs only.
+    """
+    from pyspark.sql import functions as F
+
+    from ospo_ghcrawler_spark.operators.dedup import (
+        bloom_flag_column,
+        build_bloom_distributed,
+    )
+
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    g_eval = _token_grams(docs.filter(is_eval), n).select("gram").distinct()
+    g_eval_h = g_eval.select("gram", F.xxhash64("gram").alias("gram_h"))
+    fam = build_bloom_distributed(
+        g_eval_h, "gram_h", shards, bits_per_shard, n_hashes
+    )
+    g_train = _token_grams(docs.filter(~is_eval), n).select(
+        "doc_id", "gram", F.xxhash64("gram").alias("gram_h")
+    )
+    candidates = bloom_flag_column(g_train, "gram_h", fam, "_maybe").filter(
+        F.col("_maybe")
+    )
+    verified = candidates.join(g_eval_h.select("gram"), "gram", "left_semi")
+    return verified.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_contaminated_grams")
+    )

@@ -1839,6 +1839,18 @@ Q_ROBOTS_PARSE_SQL = """
 """
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/curation.py:
+    decontaminate_bloom) — the big-eval-set scale path: eval grams build a
+    distributed bloom, the corpus probes the bitmap in one Arrow pass, and
+    only bloom-positive grams pay the exact verify join. Row-identical to
+    q_decontaminate (no false negatives; FPs removed by the verify), so it
+    shares the same oracle."""
+    return CU.decontaminate_bloom(
+        _t(spark, sf_dir, "documents"), n=DECON_N, eval_mod=EVAL_MOD
+    )
+
+
 def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered-domain rollup (functions/urls.py:registered_domain_col —
     public-suffix-lite): the site-identity grouping for domain-level
@@ -2149,6 +2161,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_ngram_scrub": q_repeated_ngram_scrub,
     "paragraph_dedup": q_paragraph_dedup,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "pii_scrub": q_pii_scrub,
     "tfidf_top_terms": q_tfidf_top_terms,
     "shard_pack": q_shard_pack,
@@ -2222,6 +2235,7 @@ ORACLES: dict[str, str] = {
     "repeated_ngram_scrub": Q_REPEATED_NGRAM_SCRUB_SQL,
     "paragraph_dedup": CU.paragraph_dedup_sql(width=3),
     "decontaminate": Q_DECONTAMINATE_SQL,
+    "decontaminate_bloom": Q_DECONTAMINATE_SQL,  # row-identical scale path
     "pii_scrub": Q_PII_SCRUB_SQL,
     "tfidf_top_terms": Q_TFIDF_TOP_TERMS_SQL,
     "shard_pack": Q_SHARD_PACK_SQL,

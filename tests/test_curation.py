@@ -193,3 +193,30 @@ def test_paragraph_dedup_partition_invariant(spark):
     a = sorted(map(tuple, CU.paragraph_dedup(docs, width=3).collect()))
     b = sorted(map(tuple, CU.paragraph_dedup(docs.repartition(13), width=3).collect()))
     assert a == b
+
+
+def test_decontaminate_bloom_row_identical(spark):
+    """The bloom-prefiltered scale path must return exactly the broadcast-
+    join operator's rows (no false negatives by construction; bloom FPs
+    removed by the verify join) — including under a DELIBERATELY tiny,
+    collision-heavy bitmap."""
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [
+        " ".join(words[(i + j) % len(words)] for j in range(6)) + f" uniq{i}"
+        for i in range(40)
+    ]
+    docs = _docs(spark, rows)
+    exact = {
+        (r["doc_id"], r["n_contaminated_grams"])
+        for r in CU.decontaminate(docs, n=3, eval_mod=5).collect()
+    }
+    assert exact, "fixture must actually contain contamination"
+    for bits in (1 << 8, 1 << 16):  # high-FP and ordinary regimes
+        got = {
+            (r["doc_id"], r["n_contaminated_grams"])
+            for r in CU.decontaminate_bloom(
+                docs, n=3, eval_mod=5, shards=2, bits_per_shard=bits,
+                n_hashes=3,
+            ).collect()
+        }
+        assert got == exact, f"bits={bits}"
