@@ -130,7 +130,7 @@ BENCH_QUERIES = [
     "shard_pack", "decontaminate", "decontaminate_bloom", "clean_corpus",
     "paragraph_dedup",
     "tfidf_top_terms", "link_pagerank", "link_hits", "link_components",
-    "sitemap_parse", "registered_domain", "refetch_priority",
+    "sitemap_parse", "robots_sitemaps", "registered_domain", "refetch_priority",
     "redirect_resolve", "anchor_texts", "snapshot_diff",
     "kmeans_clusters", "cluster_sample", "repeated_ngrams",
     "repeated_ngram_scrub", "binary_meta", "media_features",

@@ -119,3 +119,31 @@ def parse_robots_txt(
         "crawl_delay_ms",
         F.lit(None).cast("int").alias("budget_per_window"),
     )
+
+
+def robots_sitemaps(
+    df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap_url) from ``Sitemap:`` lines — the sitemaps.org
+    extension to robots.txt and the standard discovery hand-off: robots
+    names the sitemaps, functions/sitemaps.py parses their bodies, the
+    locs seed the frontier. Unlike every directive above, Sitemap lines
+    are GROUP-INDEPENDENT (they apply regardless of user-agent and may
+    appear anywhere in the file), so this is a pure projection — comment
+    strip, key match, absolute-url value — plus a distinct; no UA-group
+    window at all."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(txt_col), "\r?\n")).alias("line"),
+    )
+    clean = F.trim(F.regexp_replace("line", "#.*", ""))
+    return (
+        lines.select(
+            "host",
+            F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1))).alias("key"),
+            F.trim(F.regexp_extract(clean, "^[^:]+:(.*)$", 1)).alias("sitemap_url"),
+        )
+        .filter((F.col("key") == "sitemap") & (F.col("sitemap_url") != ""))
+        .select("host", "sitemap_url")
+        .distinct()
+    )

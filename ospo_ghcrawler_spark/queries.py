@@ -1851,6 +1851,74 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (functions/robots.py:
+    robots_sitemaps): group-independent ``Sitemap:`` lines — mixed case,
+    comments, CRLF, positions before/inside/after UA groups — become
+    (host, sitemap_url) rows; the hand-off input to sitemap_parse."""
+    from ospo_ghcrawler_spark.functions.robots import robots_sitemaps
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ks = k.cast("string")
+    nl = F.lit("\n")
+    host = F.concat(F.lit("host"), ks, F.lit(".example"))
+    txt = F.concat(
+        # before any UA group (must still count)
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("Sitemap: http://"), host, F.lit("/sitemap.xml  # root"), nl),
+        ).otherwise(F.lit("")),
+        F.lit("User-agent: *"), nl,
+        F.lit("Disallow: /private/"), nl,
+        # inside a group, mixed case key, CRLF
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("SITEMAP: http://"), host, F.lit("/sitemap-news.xml\r")),
+        ).otherwise(F.lit("")),
+        nl,
+        # duplicate of the first (distinct must collapse it)
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("sitemap: http://"), host, F.lit("/sitemap.xml"), nl),
+        ).otherwise(F.lit("")),
+    )
+    raw = s.select(host.alias("host"), txt.alias("robots_txt"))
+    return robots_sitemaps(raw)
+
+
+Q_ROBOTS_SITEMAPS_SQL = """
+    WITH raw AS (
+      SELECT 'host' || s_suppkey || '.example' AS host,
+             (CASE WHEN s_suppkey % 2 = 0
+                   THEN 'Sitemap: http://host' || s_suppkey || '.example/sitemap.xml  # root' || chr(10)
+                   ELSE '' END)
+             || 'User-agent: *' || chr(10)
+             || 'Disallow: /private/' || chr(10)
+             || (CASE WHEN s_suppkey % 3 = 0
+                      THEN 'SITEMAP: http://host' || s_suppkey || '.example/sitemap-news.xml' || chr(13)
+                      ELSE '' END)
+             || chr(10)
+             || (CASE WHEN s_suppkey % 2 = 0
+                      THEN 'sitemap: http://host' || s_suppkey || '.example/sitemap.xml' || chr(10)
+                      ELSE '' END) AS robots_txt
+      FROM supplier
+    ),
+    lines AS (
+      SELECT host, unnest(string_split_regex(robots_txt, '\r?\n')) AS line
+      FROM raw
+    ),
+    kv AS (
+      SELECT host,
+             lower(trim(regexp_extract(trim(regexp_replace(line, '#.*', '')), '^([^:]+):', 1))) AS key,
+             trim(regexp_extract(trim(regexp_replace(line, '#.*', '')), '^[^:]+:(.*)$', 1)) AS sitemap_url
+      FROM lines
+    )
+    SELECT DISTINCT host, sitemap_url
+    FROM kv WHERE key = 'sitemap' AND sitemap_url <> ''
+"""
+
+
 def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered-domain rollup (functions/urls.py:registered_domain_col —
     public-suffix-lite): the site-identity grouping for domain-level
@@ -2182,6 +2250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quality": q_source_quality,
     "url_trap": q_url_trap,
     "token_rarity": q_token_rarity,
+    "robots_sitemaps": q_robots_sitemaps,
     "registered_domain": q_registered_domain,
     "refetch_priority": q_refetch_priority,
     "sitemap_parse": q_sitemap_parse,
@@ -2254,6 +2323,7 @@ ORACLES: dict[str, str] = {
     "source_quality": Q_SOURCE_QUALITY_SQL,
     "url_trap": Q_URL_TRAP_SQL,
     "token_rarity": Q_TOKEN_RARITY_SQL,
+    "robots_sitemaps": Q_ROBOTS_SITEMAPS_SQL,
     "registered_domain": _registered_domain_sql(),
     "refetch_priority": _refetch_priority_sql(),
     "sitemap_parse": _sitemap_parse_sql(),

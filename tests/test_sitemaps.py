@@ -78,3 +78,50 @@ def test_sitemap_parse_zero_exchange(spark):
     df = Q.QUERIES["sitemap_parse"](spark, "/root/testdata/sf0.01")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_discovery_handoff_robots_to_sitemap_to_crawl(spark, tmp_path):
+    """The full discovery loop: robots.txt names the sitemaps
+    (robots_sitemaps), the sitemap bodies yield locs (parse_sitemap_entries),
+    the locs seed the crawler, and the crawl settles exactly those pages
+    (max_depth=0: no link expansion)."""
+    from pyspark.sql import functions as F
+
+    from ospo_ghcrawler_spark.config import CrawlConfig
+    from ospo_ghcrawler_spark.functions.robots import robots_sitemaps
+    from ospo_ghcrawler_spark.operators.engine import Crawler
+    from ospo_ghcrawler_spark.sources.corpus import page_url, synth_pages, synth_robots
+
+    N, H = 120, 6
+    corpus = synth_pages(spark, n_pages=N, n_hosts=H, links_per_page=4)
+    robots_dim = synth_robots(spark, n_hosts=H)
+
+    # robots bodies: each host advertises one sitemap
+    raw_robots = spark.createDataFrame(
+        [(f"host{h}.example",
+          f"User-agent: *\nDisallow: /private/\nSitemap: http://host{h}.example/sitemap.xml\n")
+         for h in range(H)],
+        "host string, robots_txt string",
+    )
+    maps = robots_sitemaps(raw_robots)
+    assert maps.count() == H
+
+    # sitemap bodies: the first 10 page urls, sharded across the host maps
+    urls = [page_url(i, N, H, False) for i in range(10)]
+    body = "<urlset>" + "".join(f"<url><loc>{u}</loc></url>" for u in urls) + "</urlset>"
+    sitemap_bodies = maps.select("host", F.lit(body).alias("sitemap_xml"))
+    from ospo_ghcrawler_spark.functions.sitemaps import parse_sitemap_entries
+
+    entries = parse_sitemap_entries(sitemap_bodies)
+    locs = sorted({r["loc"] for r in entries.filter(~F.col("is_index")).collect()})
+    assert locs == sorted(set(urls))
+
+    c = Crawler(
+        spark, str(tmp_path / "cat"), corpus, robots_dim,
+        CrawlConfig(batch_size=50, max_depth=0), run_id="smseed",
+    )
+    c.seed(locs)
+    c.run(10)
+    pages = c.catalog.table("pages").read()
+    fetched = sorted(r["url"] for r in pages.select("url").collect())
+    assert fetched == sorted(set(urls))
