@@ -124,3 +124,19 @@ def test_snapshot_diff_statuses(spark, tmp_path):
             assert got[i + Q.DIFF_NEW_OFFSET] == "new"
     n_new = sum(1 for s in got.values() if s == "new")
     assert n_new == len([i for i in range(120) if i % Q.DIFF_NEW_MOD == 0])
+
+
+def test_anchor_texts_explicit_anchor_column(spark):
+    # real crawls carry the anchor string on the edge; top-k + ties by
+    # anchor string, counts aggregated across duplicate edges
+    edges = spark.createDataFrame(
+        [(1, 9, "home"), (2, 9, "home"), (3, 9, "news"), (4, 9, "blog"),
+         (5, 9, "blog"), (6, 9, "shop"), (7, 8, "only")],
+        "src long, dst long, anchor string",
+    )
+    got = {(r["dst"], r["rk"]): (r["anchor"], r["n_links"])
+           for r in G.anchor_texts(edges, top_k=3).collect()}
+    assert got == {
+        (9, 1): ("blog", 2), (9, 2): ("home", 2), (9, 3): ("news", 1),
+        (8, 1): ("only", 1),
+    }

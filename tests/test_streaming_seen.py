@@ -1,0 +1,75 @@
+"""Streaming URL-seen dedup parity: the applyInPandasWithState operator
+must emit exactly each url's first occurrence — identical to batch
+dropDuplicates over the concatenated input — however the rows are split
+into micro-batches, and must keep suppressing across batches."""
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from ospo_ghcrawler_spark.streaming.seen import streaming_seen_filter
+
+URL_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+
+def _write(d: str, name: str, rows, mtime: int):
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, name)
+    with open(p, "w") as f:
+        for url, h, seq in rows:
+            f.write(json.dumps({"url": url, "url_hash": h, "seq": seq}) + "\n")
+    os.utime(p, (mtime, mtime))
+
+
+def test_streaming_seen_first_occurrence_across_microbatches(spark, tmp_path):
+    src = str(tmp_path / "urls")
+    # batch 0: a, b, and an in-batch duplicate of a (later seq — dropped)
+    b0 = [("http://h/a", 11, 1), ("http://h/b", 22, 2), ("http://h/a", 11, 3)]
+    # batch 1: cross-batch duplicates of a and b (dropped) + new c, d;
+    # c collides into a's shard (same % 32 residue) to exercise shared state
+    b1 = [
+        ("http://h/a", 11, 4),
+        ("http://h/c", 11 + 32, 5),
+        ("http://h/b", 22, 6),
+        ("http://h/d", 33, 7),
+    ]
+    # batch 2: everything repeated — nothing may come out
+    b2 = [(u, h, 100 + i) for i, (u, h, _s) in enumerate(b0 + b1)]
+    _write(src, "b0.json", b0, 1_000_000)
+    _write(src, "b1.json", b1, 1_000_100)
+    _write(src, "b2.json", b2, 1_000_200)
+
+    stream = (
+        spark.readStream.schema(URL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        streaming_seen_filter(stream)
+        .writeStream.format("memory")
+        .queryName("seen_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["url"], r["url_hash"], r["seq"])
+        for r in spark.sql("SELECT * FROM seen_stream").collect()
+    }
+    assert got == {
+        ("http://h/a", 11, 1),
+        ("http://h/b", 22, 2),
+        ("http://h/c", 43, 5),
+        ("http://h/d", 33, 7),
+    }
