@@ -909,7 +909,13 @@ def main() -> None:
             if qspark is None:
                 qspark = get_spark("bench_queries", cores=CPUS, shuffle_partitions=CPUS)
             t0 = time.time()
-            Q.QUERIES[name](qspark, SF_DIR).write.format("noop").mode("overwrite").save()
+            try:
+                Q.QUERIES[name](qspark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # one bad query must not erase the
+                errors.append(f"query {name}: {type(e).__name__}")  # run's evidence
+                continue
             timings[name] = round(time.time() - t0, 3)
             # per-op caches (shingle/signature passes) are scoped to one
             # query: clear so timings stay cold-path honest and cached
