@@ -114,6 +114,45 @@ def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     )
 
 
+_EXTRACT_STRUCT_T = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@F.pandas_udf(_EXTRACT_STRUCT_T)
+def extract_struct_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """Fused text+link extraction as ONE scalar Arrow UDF returning a struct.
+
+    Versus the ``mapInPandas`` form this keeps every other column JVM-side:
+    only (html, url) cross into Python and only (text, links) cross back —
+    html itself never round-trips. On the harvest path that removes
+    ~html-size bytes/page of Arrow return traffic plus the serialization of
+    the 13 metadata columns both ways; the scaling notes (§3g/§3h) measured
+    per-page byte traffic as the wide-leg bottleneck on a shared-bus host."""
+    return pd.DataFrame(
+        {
+            "text": [extract_text(h) for h in html],
+            "links": [extract_links(h, u) for h, u in zip(html, url)],
+        },
+        index=html.index,
+    )
+
+
+def with_extracted(df):
+    """Attach ``text`` + ``links`` to *df* via :func:`extract_struct_udf`
+    (one ArrowEvalPython node; identical UDF expressions are collapsed by
+    Catalyst's python-UDF extraction, so the struct is evaluated once)."""
+    ext = extract_struct_udf(F.col("html"), F.col("url"))
+    return df.withColumn("_ext", ext).select(
+        *df.columns,
+        F.col("_ext.text").alias("text"),
+        F.col("_ext.links").alias("links"),
+    )
+
+
 def extract_pages_map_in_pandas(schema_out: T.StructType):
     """``mapInPandas`` variant fusing text+link extraction in one Arrow pass —
     avoids materializing html twice when both outputs are needed (the hot path

@@ -33,7 +33,7 @@ from ospo_ghcrawler_spark.config import (
     PRIORITY_NORMAL,
     CrawlConfig,
 )
-from ospo_ghcrawler_spark.functions.extract import extract_pages_map_in_pandas
+from ospo_ghcrawler_spark.functions.extract import with_extracted
 from ospo_ghcrawler_spark.functions.urls import canonicalize_udf, host_col
 from ospo_ghcrawler_spark.operators.dedup import (
     BloomFamily,
@@ -55,7 +55,7 @@ from ospo_ghcrawler_spark.operators.tokens import (
 )
 from ospo_ghcrawler_spark.plans.catalog import Catalog
 from ospo_ghcrawler_spark.plans.selection import policy_depth_col, select_batch
-from ospo_ghcrawler_spark.schemas import EXTRACT_SCHEMA, FRONTIER_SCHEMA
+from ospo_ghcrawler_spark.schemas import FRONTIER_SCHEMA
 
 Fetcher = Callable[[DataFrame, DataFrame, CrawlConfig], DataFrame]
 
@@ -91,8 +91,6 @@ def harvest_feature_cols(cfg: CrawlConfig) -> list:
             ("quality", "double"), ("lang_pred", "string"), ("fp", "string"),
         ]
     ]
-
-_EXTRACT_SCHEMA = EXTRACT_SCHEMA
 
 
 class Crawler:
@@ -255,9 +253,7 @@ class Crawler:
         )
         fetched = self.fetcher(sel, corpus_small, cfg)
         if not ("text" in fetched.columns and "links" in fetched.columns):
-            fetched = fetched.mapInPandas(
-                extract_pages_map_in_pandas(_EXTRACT_SCHEMA), schema=_EXTRACT_SCHEMA
-            )
+            fetched = with_extracted(fetched)  # same Arrow path as superstep
         harvest = fetched.select(
             "url", "warc_ts", "html", "text", "lang", "links",
             "url_hash", "host", "priority", "attempt", "depth",
@@ -546,9 +542,12 @@ class Crawler:
         if "text" in fetched.columns and "links" in fetched.columns:
             extracted = fetched  # fetcher fused extraction into its Arrow pass
         else:
-            extracted = fetched.mapInPandas(
-                extract_pages_map_in_pandas(_EXTRACT_SCHEMA), schema=_EXTRACT_SCHEMA
-            )
+            # scalar struct UDF, not mapInPandas: only (html, url) cross to
+            # Python and only (text, links) come back — html and the 13
+            # metadata columns stay JVM-side instead of round-tripping
+            # through Arrow (BENCH/SCALING_NOTES §3g/§3h: per-page byte
+            # traffic is the wide-leg tax on a shared-bus host)
+            extracted = with_extracted(fetched)
 
         # ---- commit the harvest FIRST (the only pass over html) -------------
         # Everything downstream derives from the snapshot just written: the
