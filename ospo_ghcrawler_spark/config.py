@@ -145,6 +145,15 @@ class CrawlConfig:
     # All JVM expressions (functions/text.py); they fuse into the harvest
     # stage's whole-stage codegen and scale with cores.
     featurize_at_fetch: bool = True
+    # also compute winnowing fingerprints (Schleimer et al. SIGMOD'03 — the
+    # MOSS near-dup/plagiarism primitive, functions/text.py:
+    # winnow_fingerprints_fast) in the same harvest-write pass: the harvest
+    # is the only stage that holds the text, and a training-data pipeline
+    # re-derives these for near-dup detection anyway, so computing them at
+    # fetch time makes the pages table dedup-ready with zero extra scans.
+    # Pure JVM array expressions (xxhash64 per gram), CPU-dense and
+    # shuffle-free — they scale with cores. Requires featurize_at_fetch.
+    winnow_at_fetch: bool = True
     # run the frontier table write inside the BACKGROUND commit group and let
     # the next superstep select from the in-memory next-frontier plan (lazily
     # local-checkpointed so plan trees stay bounded). Lowers absolute wall at

@@ -73,22 +73,28 @@ def harvest_feature_cols(cfg: CrawlConfig) -> list:
 
         t = F.col("text")
         ok_row = F.col("status") == 200  # no text → no features (all null)
-        return [
-            F.when(ok_row, e).alias(nm)
-            for nm, e in [
-                ("n_tokens", _TXT.token_count(t).cast("int")),
-                ("n_types", _TXT.distinct_token_count(t).cast("int")),
-                ("n_punct", _TXT.punct_count(t).cast("int")),
-                ("quality", _TXT.quality_score(t)),
-                ("lang_pred", _TXT.lang_id(t)),
-                ("fp", _TXT.fingerprint(t)),
-            ]
+        exprs = [
+            ("n_tokens", _TXT.token_count(t).cast("int")),
+            ("n_types", _TXT.distinct_token_count(t).cast("int")),
+            ("n_punct", _TXT.punct_count(t).cast("int")),
+            ("quality", _TXT.quality_score(t)),
+            ("lang_pred", _TXT.lang_id(t)),
+            ("fp", _TXT.fingerprint(t)),
         ]
+        if cfg.winnow_at_fetch:
+            # MOSS winnowing fingerprints in the same pass (xxhash64 grams,
+            # JVM array exprs): the pages table comes out near-dup-ready —
+            # downstream dedup joins on winnow_fp instead of re-scanning text
+            exprs.append(("winnow_fp", _TXT.winnow_fingerprints_fast(t)))
+        else:
+            exprs.append(("winnow_fp", F.lit(None).cast("array<bigint>")))
+        return [F.when(ok_row, e).alias(nm) for nm, e in exprs]
     return [
         F.lit(None).cast(dt).alias(nm)
         for nm, dt in [
             ("n_tokens", "int"), ("n_types", "int"), ("n_punct", "int"),
             ("quality", "double"), ("lang_pred", "string"), ("fp", "string"),
+            ("winnow_fp", "array<bigint>"),
         ]
     ]
 

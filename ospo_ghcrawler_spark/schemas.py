@@ -64,6 +64,11 @@ HARVEST_SCHEMA = T.StructType(
         # whitespace-invariant content fingerprint (dedup key; etag above is
         # the exact-bytes change key)
         T.StructField("fp", T.StringType(), True),
+        # winnowing fingerprints (MOSS, cfg.winnow_at_fetch; null when
+        # disabled): shared-k-gram-run witnesses for near-dup detection,
+        # computed in the harvest pass (functions/text.py:
+        # winnow_fingerprints_fast — xxhash64 grams, JVM-only)
+        T.StructField("winnow_fp", T.ArrayType(T.LongType()), True),
     ]
 )
 

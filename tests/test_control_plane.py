@@ -189,3 +189,36 @@ def test_export_clean_corpus_uses_fetch_features(spark, tmp_path):
     ).groupBy(TXT.fingerprint(F.col("text"))).count().filter("count > 1")
     n_extra = dups.agg(F.sum(F.col("count") - 1)).collect()[0][0] or 0
     assert rows == expected - n_extra
+
+
+def test_winnow_at_fetch_matches_query_path(spark, tmp_path):
+    """cfg.winnow_at_fetch lands MOSS fingerprints on the pages row in the
+    harvest pass; they must equal winnow_fingerprints_fast recomputed from
+    the stored text (same grams, same windows, same hash), and be null
+    exactly on non-200 rows."""
+    from pyspark.sql import functions as F
+
+    from ospo_ghcrawler_spark.config import CrawlConfig
+    from ospo_ghcrawler_spark.functions import text as TXT
+    from ospo_ghcrawler_spark.operators.engine import Crawler
+    from ospo_ghcrawler_spark.sources.corpus import page_url, synth_pages, synth_robots
+
+    N, H = 120, 4
+    corpus = synth_pages(spark, n_pages=N, n_hosts=H, links_per_page=5).cache()
+    robots = synth_robots(spark, n_hosts=H)
+    c = Crawler(spark, str(tmp_path / "cat"), corpus, robots,
+                CrawlConfig(batch_size=80), run_id="wf")
+    c.seed([page_url(i, N, H, False) for i in range(4)])
+    c.run(30)
+    c._await_pending()
+
+    pages = c.catalog.table("pages").read().cache()
+    ok = pages.filter(F.col("status") == 200)
+    assert ok.filter(F.col("winnow_fp").isNull()).count() == 0
+    assert pages.filter(
+        (F.col("status") != 200) & F.col("winnow_fp").isNotNull()
+    ).count() == 0
+    mism = ok.filter(
+        F.col("winnow_fp") != TXT.winnow_fingerprints_fast(F.col("text"))
+    ).count()
+    assert mism == 0
