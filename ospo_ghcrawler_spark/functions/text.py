@@ -189,10 +189,23 @@ def winnow_fingerprints(
     empty = F.array().cast("array<int>")
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(empty)
     grams = F.transform(idx, lambda i: gram_hash(text.substr(i, F.lit(k))))
-    m = F.size(grams) - (w - 1)
-    widx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(empty)
-    wins = F.transform(widx, lambda j: F.array_min(F.slice(grams, j, w)))
-    return F.array_distinct(wins)
+
+    # Bind the grams array ONCE per row before the window pass. Catalyst
+    # does no common-subexpression elimination across a lambda boundary: an
+    # expression subtree referenced inside transform()'s lambda is
+    # RE-EVALUATED per element, so slice(grams, j, w) inline would recompute
+    # all L gram hashes for each of the L windows — O(L^2) hashes/row,
+    # measured ~2 s/row on ~2.5 KB texts. Wrapping grams as the single
+    # element of transform()'s ARGUMENT evaluates it once; the lambda
+    # variable g is a cheap bound reference, giving the intended O(L·w).
+    def _windows(g):
+        m = F.size(g) - (w - 1)
+        widx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(empty)
+        return F.array_distinct(
+            F.transform(widx, lambda j: F.array_min(F.slice(g, j, w)))
+        )
+
+    return F.element_at(F.transform(F.array(grams), _windows), 1)
 
 
 def winnow_fingerprints_fast(text: Column, k: int = 8, w: int = 4) -> Column:
