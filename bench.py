@@ -427,14 +427,21 @@ def calibrate_worker(cores: int, work: str, robots_dir: str, out: str) -> None:
     )
     robots = spark.read.parquet(robots_dir)
     walls = {}
-    for tag in ("cal0", "cal1"):
-        corpus = spark.read.parquet(f"{work}/{tag}")
+    # cal0/cal1 probe with winnow_at_fetch OFF: their slope is the
+    # HOST-SPEED signal, comparable against the round-2 W_MS_PER_PAGE
+    # constant (fit before winnow density existed). cal1w repeats the
+    # larger probe with the measured legs' real config (winnow ON); the
+    # delta vs cal1 adds the density slope for SIZING without conflating
+    # engine density with neighbor load in the slowdown estimate.
+    for tag in ("cal0", "cal1", "cal1w"):
+        corpus = spark.read.parquet(f"{work}/{'cal1' if tag == 'cal1w' else tag}")
         n = corpus.count()
         cfg = CrawlConfig(
             batch_size=4 * n, host_budget=1 << 30, compute_budget_ms=1 << 40,
             max_depth=64, frontier_partitions=2 * cores, bloom_shards=8,
             bloom_bits_per_shard=1 << 17, pipelined_frontier_commit=True,
             collect_stats=False, expect_failures=False,
+            winnow_at_fetch=(tag == "cal1w"),
         )
         root = tempfile.mkdtemp(prefix=f"bench_cal_{tag}_", dir=WORKDIR_BASE)
         try:
@@ -456,13 +463,18 @@ def calibrate_worker(cores: int, work: str, robots_dir: str, out: str) -> None:
 def run_calibration(
     work: str, robots_dir: str, timeout_s: float
 ) -> tuple[float, float, float, dict]:
-    """(w core-sec/page, F fixed-sec, per-subprocess overhead sec, raw walls)
-    from the two probes at lo cores; falls back to the round-2 constants on
-    probe failure/noise. Overhead (python+JVM start, corpus read, seed,
-    prewarm, shutdown) is measured as the calibration subprocess's wall
-    minus its two crawl walls, ~halved (one JVM start amortizes two probes)
-    — the host's session-to-session speed swings make a baked constant
-    mis-size the pair budget in either direction."""
+    """(w_sizing core-sec/page, F fixed-sec, per-subprocess overhead sec,
+    raw walls, w_hostspeed core-sec/page) from the probes at lo cores;
+    falls back to the round-2 constants on probe failure/noise.
+
+    Two slopes since winnow_at_fetch landed: the winnow-OFF slope
+    (cal0→cal1) is the HOST-SPEED signal comparable to the round-2
+    W_MS_PER_PAGE constant; the sizing slope adds the measured winnow
+    density delta (cal1→cal1w, same corpus, same F). Overhead (python+JVM
+    start, corpus read, seed, prewarm, shutdown) is measured as the
+    calibration subprocess's wall minus its crawl walls, scaled — the
+    host's session-to-session speed swings make a baked constant mis-size
+    the pair budget in either direction."""
     out = tempfile.mktemp(suffix=".json")
     cmd = [
         sys.executable, os.path.abspath(__file__), "--calibrate",
@@ -470,7 +482,13 @@ def run_calibration(
         "--out", out,
     ]
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "16g"))
-    fallback = (W_MS_PER_PAGE / 1000.0, F_FIXED_S, SUB_OVERHEAD_S, {})
+    # fallback sizing slope carries a 5x winnow-density factor (measured
+    # ~4.4x at bench page weight): under-modeling w makes every leg trip
+    # its 2.5x-model subprocess timeout
+    fallback = (
+        5.0 * W_MS_PER_PAGE / 1000.0, F_FIXED_S, SUB_OVERHEAD_S, {},
+        W_MS_PER_PAGE / 1000.0,
+    )
     t_sub = time.time()
     try:
         subprocess.run(
@@ -484,20 +502,27 @@ def run_calibration(
         return fallback
     w0, p0 = walls["cal0"]["wall"], walls["cal0"]["pages"]
     w1, p1 = walls["cal1"]["wall"], walls["cal1"]["pages"]
-    # per-leg overhead: the cal subprocess pays one JVM start + two
-    # (read+seed+prewarm+catalog) cycles for its two probes; a measured leg
-    # pays one of each — 0.6× the residual approximates it, clamped to the
+    w1w = walls.get("cal1w", {}).get("wall", w1)
+    # per-leg overhead: the cal subprocess pays one JVM start + three
+    # (read+seed+prewarm+catalog) cycles for its probes; a measured leg
+    # pays one of each — 0.4× the residual approximates it, clamped to the
     # historically observed [30, 90] band
-    overhead = min(max(0.6 * (t_sub - w0 - w1), 30.0), 90.0)
+    overhead = min(max(0.4 * (t_sub - w0 - w1 - w1w), 30.0), 90.0)
     if w1 <= w0 or p1 <= p0:  # probe noise — unusable fit
         return fallback
-    w = CORES_LO * (w1 - w0) / (p1 - p0)  # core-sec per page
-    f = w0 - w * p0 / CORES_LO
-    # guards: w within [0.5×, 25×] of the round-2 fit (5.3× measured on the
-    # 2026-08-17 host; leave headroom for worse neighbors); F in [10, 150]
-    w = min(max(w, W_MS_PER_PAGE / 2000.0), W_MS_PER_PAGE / 40.0)
+    # host-speed slope: winnow-OFF probes, same engine shape the round-2
+    # W_MS_PER_PAGE constant was fit on — this is what slowdown reports
+    w_nowin = CORES_LO * (w1 - w0) / (p1 - p0)  # core-sec per page
+    # sizing slope: add the measured winnow density delta (same F cancels
+    # between the two same-size probes); never below the host slope
+    w = w_nowin + max(0.0, CORES_LO * (w1w - w1) / p1)
+    f = w0 - w_nowin * p0 / CORES_LO
+    # guards: w_nowin within [0.5×, 25×] of the round-2 fit (5.3× measured
+    # on the 2026-08-17 host; headroom for worse neighbors); F in [10, 150]
+    w_nowin = min(max(w_nowin, W_MS_PER_PAGE / 2000.0), W_MS_PER_PAGE / 40.0)
+    w = min(max(w, w_nowin), W_MS_PER_PAGE / 8.0)
     f = min(max(f, 10.0), 150.0)
-    return w, f, overhead, walls
+    return w, f, overhead, walls, w_nowin
 
 
 def _size_pages(
@@ -572,14 +597,16 @@ def main() -> None:
             partitions=2 * CPUS, sentences=SENTENCES,
         ).write.mode("overwrite").parquet(f"{work}/{tag}")
     spark.stop()  # no concurrent JVM alongside any measured subprocess
-    w_cal, f_cal, sub_ov, cal_walls = run_calibration(
+    w_cal, f_cal, sub_ov, cal_walls, w_host = run_calibration(
         work, robots_dir, timeout_s=max(90.0, _remaining() * 0.5)
     )
+    slowdown = w_host * 1000 / W_MS_PER_PAGE
     partial["calibration"] = {
         "w_core_ms_per_page": round(w_cal * 1000, 3),
+        "w_hostspeed_ms_per_page": round(w_host * 1000, 3),
         "f_fixed_s": round(f_cal, 1),
         "sub_overhead_s": round(sub_ov, 1),
-        "host_slowdown_vs_round2": round(w_cal * 1000 / W_MS_PER_PAGE, 2),
+        "host_slowdown_vs_round2": round(slowdown, 2),
         "walls": cal_walls,
     }
     _write_partial(partial)
@@ -593,12 +620,12 @@ def main() -> None:
     # and retry later; skipped attempts never reach runs.jsonl because no
     # crawl pair completes (nothing measured, nothing to disclose or drop).
     max_slow = os.environ.get("SPARK_GRAFT_BENCH_MAX_SLOWDOWN")
-    if max_slow and w_cal * 1000 / W_MS_PER_PAGE > float(max_slow):
+    if max_slow and slowdown > float(max_slow):
         partial["phase"] = "aborted_host_slow"
         _write_partial(partial)
         print(json.dumps({
             "metric": "aborted_host_slow",
-            "host_slowdown_vs_round2": round(w_cal * 1000 / W_MS_PER_PAGE, 2),
+            "host_slowdown_vs_round2": round(slowdown, 2),
             "threshold": float(max_slow),
         }))
         shutil.rmtree(work, ignore_errors=True)

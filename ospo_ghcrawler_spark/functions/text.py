@@ -217,3 +217,40 @@ def winnow_fingerprints_fast(text: Column, k: int = 8, w: int = 4) -> Column:
     equivalence test, not the DuckDB oracle); collision behavior for
     fingerprint selection is equivalent at 64 bits."""
     return winnow_fingerprints(text, k, w, gram_hash=F.xxhash64)
+
+
+def winnow_fingerprints_tokens(text: Column, k: int = 4, w: int = 4) -> Column:
+    """Winnowing over WORD k-shingles instead of char k-grams — the
+    harvest-path document fingerprinter (cfg.winnow_at_fetch).
+
+    Char 8-grams yield ~L hashes per L-char document (~2500 for a web
+    page's extracted text), measured ~30 core-ms/page of higher-order-
+    function work on a quiet host — 10× the rest of the per-page crawl
+    cost. Word shingles yield ~L/6 grams for the same shared-run detection
+    power at document granularity (w-shingling, Broder '97 — the same unit
+    MinHash uses), cutting the at-fetch cost ~85% while keeping the exact
+    MOSS window-min selection: documents sharing any k-word run of length
+    ≥ k+w-1 words share a fingerprint. Same one-bind-per-row shape as
+    :func:`winnow_fingerprints` (no O(L²) re-evaluation)."""
+    toks = F.split(normalized(text), " ")
+
+    def _from_tokens(tk):
+        n = F.size(tk) - (k - 1)
+        empty = F.array().cast("array<int>")
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(empty)
+        grams = F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, k)))
+        )
+
+        def _windows(g):
+            m = F.size(g) - (w - 1)
+            widx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(empty)
+            return F.array_distinct(
+                F.transform(widx, lambda j: F.array_min(F.slice(g, j, w)))
+            )
+
+        return F.element_at(F.transform(F.array(grams), _windows), 1)
+
+    # bind the token array once per row (same lambda-boundary CSE caveat
+    # as winnow_fingerprints: an inline `toks` would re-split per shingle)
+    return F.element_at(F.transform(F.array(toks), _from_tokens), 1)

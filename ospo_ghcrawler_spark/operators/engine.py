@@ -82,10 +82,13 @@ def harvest_feature_cols(cfg: CrawlConfig) -> list:
             ("fp", _TXT.fingerprint(t)),
         ]
         if cfg.winnow_at_fetch:
-            # MOSS winnowing fingerprints in the same pass (xxhash64 grams,
-            # JVM array exprs): the pages table comes out near-dup-ready —
-            # downstream dedup joins on winnow_fp instead of re-scanning text
-            exprs.append(("winnow_fp", _TXT.winnow_fingerprints_fast(t)))
+            # MOSS winnowing fingerprints in the same pass (xxhash64 word
+            # shingles, JVM array exprs): the pages table comes out
+            # near-dup-ready — downstream dedup joins on winnow_fp instead
+            # of re-scanning text. Word shingles, not char grams: ~L/6
+            # hashes/page for the same document-level shared-run detection
+            # (functions/text.py:winnow_fingerprints_tokens)
+            exprs.append(("winnow_fp", _TXT.winnow_fingerprints_tokens(t)))
         else:
             exprs.append(("winnow_fp", F.lit(None).cast("array<bigint>")))
         return [F.when(ok_row, e).alias(nm) for nm, e in exprs]

@@ -193,7 +193,7 @@ def test_export_clean_corpus_uses_fetch_features(spark, tmp_path):
 
 def test_winnow_at_fetch_matches_query_path(spark, tmp_path):
     """cfg.winnow_at_fetch lands MOSS fingerprints on the pages row in the
-    harvest pass; they must equal winnow_fingerprints_fast recomputed from
+    harvest pass; they must equal winnow_fingerprints_tokens recomputed from
     the stored text (same grams, same windows, same hash), and be null
     exactly on non-200 rows."""
     from pyspark.sql import functions as F
@@ -219,6 +219,6 @@ def test_winnow_at_fetch_matches_query_path(spark, tmp_path):
         (F.col("status") != 200) & F.col("winnow_fp").isNotNull()
     ).count() == 0
     mism = ok.filter(
-        F.col("winnow_fp") != TXT.winnow_fingerprints_fast(F.col("text"))
+        F.col("winnow_fp") != TXT.winnow_fingerprints_tokens(F.col("text"))
     ).count()
     assert mism == 0

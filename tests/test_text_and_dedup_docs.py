@@ -188,3 +188,34 @@ def test_neardup_clusters_chain_converges(spark):
     out = {r["doc_id"]: r["cluster_rep"] for r in
            DD.neardup_clusters(docs, pairs).collect()}
     assert out == {i: 0 for i in range(n)}
+
+
+def test_winnow_tokens_shared_run_detection(spark):
+    """Word-shingle winnowing (the harvest-path fingerprinter): documents
+    sharing a k+w-1-word run share a fingerprint; disjoint-vocabulary
+    documents share none; whitespace/case variants fingerprint identically."""
+    from pyspark.sql import functions as F
+
+    from ospo_ghcrawler_spark.functions import text as TXT
+
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 words = k+w-1 at (4,4)
+    rows = [
+        (1, f"intro one two three {run} closing words here"),
+        (2, f"completely different opening {run} and another tail"),
+        (3, "nothing in common with the others at all whatsoever"),
+        (4, f"  INTRO one   two three {run} CLOSING words HERE "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fp = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select(
+            "doc_id", TXT.winnow_fingerprints_tokens(F.col("text")).alias("f")
+        ).collect()
+    }
+    assert fp[1] & fp[2], "shared 7-word run must share a fingerprint"
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+    assert fp[1] == fp[4], "normalization: case/whitespace-invariant"
+    # short text (< k words) fingerprints to empty, not null/error
+    short = spark.createDataFrame([(9, "just three words")], "doc_id int, text string")
+    out = short.select(TXT.winnow_fingerprints_tokens(F.col("text")).alias("f")).collect()[0]["f"]
+    assert out == []
