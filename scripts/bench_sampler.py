@@ -49,7 +49,7 @@ def main() -> None:
         env["SPARK_GRAFT_BENCH_MAX_SLOWDOWN"] = str(args.max_slowdown)
         t0 = time.time()
         p = subprocess.run(
-            [sys.executable, "bench.py"], cwd=REPO,
+            [sys.executable, "bench.py"], cwd=REPO, env=env,
             capture_output=True, text=True,
             timeout=args.budget + 900,
         )
