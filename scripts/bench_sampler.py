@@ -42,7 +42,13 @@ def main() -> None:
 
     deadline = time.time() + args.hours * 3600
     attempt = 0
+    hold = os.path.join(REPO, ".bench_hold")
     while time.time() < deadline:
+        if os.path.exists(hold):
+            # Foreground dev work (e.g. a pytest run) would masquerade as
+            # neighbor load; wait it out without burning an attempt.
+            time.sleep(60)
+            continue
         attempt += 1
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_BUDGET_S"] = str(args.budget)
