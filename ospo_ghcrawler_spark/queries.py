@@ -27,6 +27,7 @@ from ospo_ghcrawler_spark.operators import curation as CU
 from ospo_ghcrawler_spark.operators import dedup_docs as DD
 from ospo_ghcrawler_spark.operators import events as EV
 from ospo_ghcrawler_spark.operators import multimodal as MM
+from ospo_ghcrawler_spark.operators import search as SR
 from ospo_ghcrawler_spark.operators import similarity as SIM
 
 # ---------------------------------------------------------------------------
@@ -2189,6 +2190,94 @@ Q_SNAPSHOT_DIFF_SQL = f"""
 """
 
 
+INDEX_MIN_DF = 5  # hapax/near-hapax pruning for the postings query
+BM25_QUERY = ["spark", "merge", "window"]  # fixed retrieval query terms
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings list (term → doc, tf, df) — the retrieval building block a
+    sharded index writer consumes. One shuffle on term; df rides a window
+    over the same partitioning (exchange reuse)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SR.inverted_index(docs, min_df=INDEX_MIN_DF)
+
+
+Q_INVERTED_INDEX_SQL = f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+    )
+    SELECT term, doc_id, tf, df FROM (
+      SELECT term, doc_id, tf, count(*) OVER (PARTITION BY term) AS df FROM tf
+    ) WHERE df >= {INDEX_MIN_DF}
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k for a fixed query — postings restricted to the
+    query's terms before any shuffle (operators/search.py:bm25_topk)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SR.bm25_topk(docs, BM25_QUERY, topk=TOPK, k1=BM25_K1, b=BM25_B)
+
+
+_BM25_TERMS_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+Q_BM25_SEARCH_SQL = f"""
+    WITH dl AS (
+      SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS dl,
+             lower(text) AS lt
+      FROM documents
+    ),
+    s AS (SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(regexp_extract_all(lt, '[A-Za-z0-9]+')) AS term
+        FROM dl
+      ) WHERE term IN ({_BM25_TERMS_IN})
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT doc_id,
+             ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))
+             * (tf * {BM25_K1 + 1.0}) / (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / s.avgdl)) AS w
+      FROM tf JOIN dfreq USING (term), s
+    ),
+    scored AS (SELECT doc_id, round(sum(w), 6) AS score FROM w GROUP BY 1)
+    SELECT doc_id, score, rk FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= {TOPK}
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style self-scored unigram-LM mean log-probability per doc —
+    the perplexity proxy a head/middle/tail quality split thresholds on."""
+    docs = _t(spark, sf_dir, "documents")
+    return SR.unigram_logprob(docs)
+
+
+Q_UNIGRAM_LOGPROB_SQL = """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(sum(cf) AS BIGINT) AS total_tokens FROM cf)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * ln(CAST(cf AS DOUBLE) / total_tokens)) / sum(tf), 6) AS avg_logprob
+    FROM tf JOIN cf USING (term), tot
+    GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2232,6 +2321,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "pii_scrub": q_pii_scrub,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "inverted_index": q_inverted_index,
+    "bm25_search": q_bm25_search,
+    "unigram_logprob": q_unigram_logprob,
     "shard_pack": q_shard_pack,
     "corpus_mix": q_corpus_mix,
     "link_pagerank": q_link_pagerank,
@@ -2307,6 +2399,9 @@ ORACLES: dict[str, str] = {
     "decontaminate_bloom": Q_DECONTAMINATE_SQL,  # row-identical scale path
     "pii_scrub": Q_PII_SCRUB_SQL,
     "tfidf_top_terms": Q_TFIDF_TOP_TERMS_SQL,
+    "inverted_index": Q_INVERTED_INDEX_SQL,
+    "bm25_search": Q_BM25_SEARCH_SQL,
+    "unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
     "shard_pack": Q_SHARD_PACK_SQL,
     "corpus_mix": Q_CORPUS_MIX_SQL,
     "link_pagerank": _link_pagerank_sql(),
