@@ -473,3 +473,45 @@ def decontaminate_bloom(
     return verified.groupBy("doc_id").agg(
         F.countDistinct("gram").alias("n_contaminated_grams")
     )
+
+
+def filter_funnel(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 20,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Per-stage attrition report for the cleaning pipeline — the first
+    thing anyone debugging a corpus asks for ("where did my documents
+    go?"). Stages mirror :func:`ospo_ghcrawler_spark.queries.q_clean_corpus`:
+    language → length → quality → exact dedup; each row reports
+    (stage, n_in, n_kept) with n_in = the previous stage's n_kept.
+
+    ONE pass over the corpus: per-doc flags are a zero-shuffle projection,
+    the funnel is a single O(1)-row aggregate (conjunction sums +
+    count-distinct-fingerprint for the dedup stage), and the 4-row report
+    is unpivoted from that one row with ``stack`` — no per-stage rescans,
+    so at 100 TB the report costs exactly one corpus read.
+    """
+    t = F.col("text")
+    flags = docs.select(
+        (F.col("lang") == lang).alias("f_lang"),
+        (TXT.token_count(t) >= min_tokens).alias("f_len"),
+        (TXT.quality_score(t) >= min_quality).alias("f_q"),
+        F.md5(t).alias("fp"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.col("f_lang").cast("long")).alias("n1"),
+        F.sum((F.col("f_lang") & F.col("f_len")).cast("long")).alias("n2"),
+        F.sum((F.col("f_lang") & F.col("f_len") & F.col("f_q")).cast("long")).alias("n3"),
+        F.countDistinct(
+            F.when(F.col("f_lang") & F.col("f_len") & F.col("f_q"), F.col("fp"))
+        ).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'language', n0, n1, 'length', n1, n2, "
+            "'quality', n2, n3, 'exact_dedup', n3, n4) AS (stage, n_in, n_kept)"
+        )
+    )

@@ -2278,6 +2278,113 @@ Q_UNIGRAM_LOGPROB_SQL = """
 """
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-JSON index lines — the third piece of the Common-Crawl container
+    trio (SURT keys `q_surt_keys`, WARC records `q_warc_export`, CDX index
+    here): per capture, the sorted lookup key + 14-digit timestamp + a JSON
+    payload (url, content digest, mime, length). URLs are synthesized messy
+    (mixed case, :80 ports, unsorted queries) and keyed via
+    functions/urls.py:surt_col; the oracle computes the expected SURT in
+    CLOSED FORM from the url's known components, cross-checking the
+    normalizer against independent arithmetic. Zero shuffle — the index
+    line rides the corpus scan; a writer sorts by (surt, ts14), which is
+    the table's Iceberg sort order, not a query-time pass."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://www.Host"), (k % N_HOSTS).cast("string"), F.lit(".Example"),
+        F.when(k % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/P"), k.cast("string"),
+        F.when(k % 3 == 0, F.concat(F.lit("?z=1&a="), (k % 5).cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    surt = U.surt_col(url)
+    ts14 = F.lpad((F.lit(20250101000000) + k).cast("string"), 14, "0")
+    cdxj = F.concat(
+        surt, F.lit(" "), ts14,
+        F.lit(' {"url":"'), url,
+        F.lit('","digest":"'), F.md5("text"),
+        F.lit('","mime":"text/html","length":'),
+        F.octet_length("text").cast("string"), F.lit("}"),
+    )
+    return docs.select(
+        k.alias("doc_id"), surt.alias("surt"), ts14.alias("ts14"), cdxj.alias("cdxj")
+    )
+
+
+Q_CDX_INDEX_SQL = f"""
+    WITH u AS (
+      SELECT doc_id,
+             'http://www.Host' || (doc_id % {N_HOSTS}) || '.Example'
+             || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END)
+             || '/P' || doc_id
+             || (CASE WHEN doc_id % 3 = 0 THEN '?z=1&a=' || (doc_id % 5) ELSE '' END) AS url,
+             'example,host' || (doc_id % {N_HOSTS}) || ')/P' || doc_id
+             || (CASE WHEN doc_id % 3 = 0 THEN '?a=' || (doc_id % 5) || '&z=1' ELSE '' END) AS surt,
+             lpad(CAST(20250101000000 + doc_id AS VARCHAR), 14, '0') AS ts14,
+             md5(text) AS digest,
+             octet_length(encode(text)) AS clen
+      FROM documents
+    )
+    SELECT doc_id, surt, ts14,
+           surt || ' ' || ts14 || ' {{"url":"' || url || '","digest":"' || digest
+           || '","mime":"text/html","length":' || clen || '}}' AS cdxj
+    FROM u
+"""
+
+
+FUNNEL_LANG = "en"
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MIN_QUALITY = 0.5
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-pipeline attrition report (operators/curation.py:
+    filter_funnel): stage → (n_in, n_kept) for language → length →
+    quality → exact dedup, computed in ONE corpus pass + one O(1)-row
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.filter_funnel(
+        docs, FUNNEL_LANG, FUNNEL_MIN_TOKENS, FUNNEL_MIN_QUALITY
+    )
+
+
+Q_FILTER_FUNNEL_SQL = f"""
+    WITH s AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tok,
+             length(text) AS n_char,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS n_stop,
+             md5(text) AS fp
+      FROM documents
+    ),
+    f AS (
+      SELECT (lang = '{FUNNEL_LANG}') AS f_lang,
+             (n_tok >= {FUNNEL_MIN_TOKENS}) AS f_len,
+             ((least(n_stop / greatest(n_tok, 1) * 2, 1.0) * 0.5
+               + (CASE WHEN n_char / greatest(n_tok, 1) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN n_punct / greatest(n_char, 1) <= 0.1 THEN 0.2 ELSE 0.0 END))
+              >= {FUNNEL_MIN_QUALITY}) AS f_q,
+             fp
+      FROM s
+    ),
+    a AS (
+      SELECT count(*) AS n0,
+             CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN f_lang AND f_len THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN f_lang AND f_len AND f_q THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(count(DISTINCT CASE WHEN f_lang AND f_len AND f_q THEN fp END) AS BIGINT) AS n4
+      FROM f
+    )
+    SELECT 'language' AS stage, n0 AS n_in, n1 AS n_kept FROM a
+    UNION ALL SELECT 'length', n1, n2 FROM a
+    UNION ALL SELECT 'quality', n2, n3 FROM a
+    UNION ALL SELECT 'exact_dedup', n3, n4 FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2338,6 +2445,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_parse": q_robots_parse,
     "surt_keys": q_surt_keys,
     "warc_export": q_warc_export,
+    "cdx_index": q_cdx_index,
+    "filter_funnel": q_filter_funnel,
     "gopher_quality": q_gopher_quality,
     "source_quality": q_source_quality,
     "url_trap": q_url_trap,
@@ -2414,6 +2523,8 @@ ORACLES: dict[str, str] = {
     "robots_parse": Q_ROBOTS_PARSE_SQL,
     "surt_keys": Q_SURT_KEYS_SQL,
     "warc_export": Q_WARC_EXPORT_SQL,
+    "cdx_index": Q_CDX_INDEX_SQL,
+    "filter_funnel": Q_FILTER_FUNNEL_SQL,
     "gopher_quality": Q_GOPHER_QUALITY_SQL,
     "source_quality": Q_SOURCE_QUALITY_SQL,
     "url_trap": Q_URL_TRAP_SQL,

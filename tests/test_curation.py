@@ -220,3 +220,27 @@ def test_decontaminate_bloom_row_identical(spark):
             ).collect()
         }
         assert got == exact, f"bits={bits}"
+
+
+def test_filter_funnel_hand_counts(spark):
+    # 5 docs: one wrong lang, one too short, one duplicate pair
+    good = "the cat and the dog of the house went to the park and it is fine " * 2
+    rows = [
+        (0, good, "en"),
+        (1, good, "en"),                      # exact dup of 0
+        (2, good + "variant", "en"),
+        (3, good, "de"),                      # dropped at language
+        (4, "the and of to is", "en"),        # 5 tokens: dropped at length
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.stage: (r.n_in, r.n_kept) for r in
+           CU.filter_funnel(docs, "en", min_tokens=10, min_quality=0.4).collect()}
+    assert got["language"] == (5, 4)
+    assert got["length"] == (4, 3)
+    assert got["quality"][0] == 3
+    n3 = got["quality"][1]
+    assert got["exact_dedup"] == (n3, n3 - 1)  # the dup pair collapses by 1
+    # funnel chains: every stage's n_in is the previous stage's n_kept
+    order = ["language", "length", "quality", "exact_dedup"]
+    for prev, cur in zip(order, order[1:]):
+        assert got[cur][0] == got[prev][1]
