@@ -56,8 +56,12 @@ def inverted_index(
     """Postings list (term, doc_id, tf, df). ``min_df`` prunes hapax terms
     (at web scale most of the vocabulary — typos, ids — is df=1 noise).
 
-    One shuffle builds tf; df rides a window over the same partitioning
-    (term) so Catalyst reuses the exchange instead of shuffling twice.
+    Two bounded shuffles, deliberately: the tf groupBy keeps its map-side
+    partial combine against the raw token explode (token stream ≫ tf
+    rows — combining first is the scale win), then the df window shuffles
+    only the combined (term, doc, tf) rows on term. Collapsing to one
+    shuffle (repartition by term before the groupBy) would move the whole
+    uncombined token stream across the wire.
     """
     tf = _term_tf(docs, id_col, text_col)
     dfreq = F.count("*").over(Window.partitionBy("term"))

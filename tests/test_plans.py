@@ -106,3 +106,46 @@ def test_anchor_texts_bounded_exchanges(spark):
     assert plan.count("Exchange") <= 3
     assert "HashAggregate" in plan  # partial agg before the window
     assert "CartesianProduct" not in plan
+
+
+def test_cdx_index_no_exchange(spark):
+    """CDX-JSON line building is a pure projection riding the scan."""
+    plan = _plan(spark, "cdx_index")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_filter_funnel_one_scan_bounded_exchanges(spark):
+    """Funnel report: ONE corpus read, no per-stage rescans. Exactly two
+    exchanges, both post-combine: the count-distinct-fingerprint key
+    shuffle (one row per distinct fp after partial agg) and the final
+    single-row merge."""
+    plan = _plan(spark, "filter_funnel")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") == 2
+    assert "partial_count" in plan  # map-side combine before either shuffle
+
+
+def test_inverted_index_combines_before_shuffling(spark):
+    """tf groupBy must partial-aggregate the token explode map-side; the df
+    window adds exactly one more (combined-rows-only) shuffle."""
+    plan = _plan(spark, "inverted_index")
+    assert plan.count("Exchange") == 2
+    assert "partial_count" in plan or "HashAggregate" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" in scan and "lang" not in scan.split("ReadSchema")[-1]
+
+
+def test_bm25_no_cartesian_pruned_scan(spark):
+    """Corpus scalars cross in as a broadcast single row; the corpus scan
+    reads only (doc_id, text)."""
+    plan = _plan(spark, "bm25_search")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" in scan and "source" not in scan.split("ReadSchema")[-1]
+
+
+def test_unigram_logprob_no_cartesian(spark):
+    plan = _plan(spark, "unigram_logprob")
+    assert "CartesianProduct" not in plan
