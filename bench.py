@@ -125,7 +125,8 @@ BENCH_QUERIES = [
     "url_canonicalize", "delta_log_naming", "retry_routing", "token_traits",
     "dedup_exact", "token_stats", "quality_score", "lang_id", "fingerprint",
     "sample_stratified", "robots_parse", "surt_keys", "source_quality",
-    "warc_export", "pii_scrub", "corpus_mix", "length_quantiles",
+    "warc_export", "cdx_index", "filter_funnel", "pii_scrub", "corpus_mix",
+    "length_quantiles", "bm25_search", "unigram_logprob", "inverted_index",
     "refetch_schedule", "sessionize", "session_stats", "asof_match",
     "shard_pack", "decontaminate", "decontaminate_bloom", "clean_corpus",
     "paragraph_dedup",

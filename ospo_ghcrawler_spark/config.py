@@ -154,6 +154,16 @@ class CrawlConfig:
     # Pure JVM array expressions (xxhash64 per gram), CPU-dense and
     # shuffle-free — they scale with cores. Requires featurize_at_fetch.
     winnow_at_fetch: bool = True
+    # also compute a one-permutation-hashing MinHash signature (Li, Owen &
+    # Zhang NIPS'12; functions/text.py:minhash_oph_entries — ONE xxhash64
+    # per word shingle, per-bin minima, sparse entries) in the harvest
+    # pass, making the pages table Jaccard-LSH-ready with zero extra
+    # scans (operators/dedup_docs.py:oph_lsh_pairs consumes the stored
+    # column via entries_col and never re-reads text for candidates).
+    # OFF by default: at ~1 hash/word it roughly doubles the per-page
+    # harvest compute on full web pages — opt in when the corpus is
+    # destined for near-dup dedup. Requires featurize_at_fetch.
+    minhash_at_fetch: bool = False
     # run the frontier table write inside the BACKGROUND commit group and let
     # the next superstep select from the in-memory next-frontier plan (lazily
     # local-checkpointed so plan trees stay bounded). Lowers absolute wall at

@@ -254,3 +254,58 @@ def winnow_fingerprints_tokens(text: Column, k: int = 4, w: int = 4) -> Column:
     # bind the token array once per row (same lambda-boundary CSE caveat
     # as winnow_fingerprints: an inline `toks` would re-split per shingle)
     return F.element_at(F.transform(F.array(toks), _from_tokens), 1)
+
+
+def minhash_oph_entries(text: Column, buckets: int = 64, k: int = 3) -> Column:
+    """One-permutation-hashing MinHash (Li, Owen & Zhang, NIPS'12): ONE
+    xxhash64 per word k-shingle (versus n_perm hashes/shingle for the
+    classic family in operators/dedup_docs.py:minhash_signatures), each
+    hash binned by ``pmod(h, buckets)``; the signature is the per-bin
+    minimum, returned SPARSE as ``array<struct<bin:int, h:bigint>>`` with
+    empty bins absent (OPH's empty-bin case — densification is the
+    consumer's choice). Duplicate shingles need no dedup: a multiset min
+    equals the set min.
+
+    The shingle unit (word 3-grams over the raw whitespace split) is
+    IDENTICAL to operators/dedup_docs.py:shingles, so signatures estimate
+    the same Jaccard space the exact verification stage measures.
+
+    Cost: O(L) hashes + O(L log L) struct sort + O(L) neighbor-compare
+    filter per row, all JVM array expressions — zero shuffle, zero
+    Python, cheap enough for the harvest-write pass
+    (cfg.minhash_at_fetch). Per the winnowing lesson (SCALING_NOTES §3k)
+    every array is bound ONCE per row via the transform-argument trick —
+    higher-order lambdas get no CSE, so an unbound reference would
+    re-evaluate the whole hash pass per element."""
+    toks = F.split(text, r"\s+")
+    empty_i = F.array().cast("array<int>")
+
+    def _sig(tk):
+        n = F.size(tk) - (k - 1)
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(empty_i)
+        hashes = F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, k)))
+        )
+        entries = F.array_sort(
+            F.transform(
+                hashes,
+                lambda h: F.struct(
+                    F.pmod(h, F.lit(buckets)).cast("int").alias("bin"),
+                    h.alias("h"),
+                ),
+            )
+        )
+
+        # sorted (bin asc, h asc) → the first entry of each bin run is that
+        # bin's minimum; keep positions where bin differs from predecessor
+        def _first_per_bin(e):
+            return F.filter(
+                e,
+                lambda x, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+                    F.element_at(e, F.greatest(i, F.lit(1)))["bin"] != x["bin"]
+                ),
+            )
+
+        return F.element_at(F.transform(F.array(entries), _first_per_bin), 1)
+
+    return F.element_at(F.transform(F.array(toks), _sig), 1)

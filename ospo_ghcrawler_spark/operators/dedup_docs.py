@@ -384,3 +384,80 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def oph_band_keys(
+    entries: "F.Column", buckets: int = 64, rows: int = 4
+) -> "F.Column":
+    """Band keys from a sparse OPH signature
+    (functions/text.py:minhash_oph_entries): band b covers bins
+    [b·rows, (b+1)·rows); its key is xxhash64 over that band's (bin, min)
+    entries. Bands with NO occupied bin emit n=0 and must be dropped by
+    the caller (an empty band would hash to one global constant and
+    candidate-join every document against every other). Pure array
+    expressions — zero shuffle; the entries array is a lambda-bound
+    reference, so per-band filters cost O(|entries|), not a re-hash."""
+    n_bands = buckets // rows
+
+    def _bands(e):
+        def one(b):
+            band_entries = F.filter(
+                e, lambda x: (x["bin"] >= b * rows) & (x["bin"] < (b + 1) * rows)
+            )
+            return F.struct(
+                F.lit(b).alias("band"),
+                F.size(band_entries).alias("n"),
+                F.xxhash64(band_entries).alias("bucket"),
+            )
+
+        return F.array(*[one(b) for b in range(n_bands)])
+
+    return F.element_at(F.transform(F.array(entries), _bands), 1)
+
+
+def oph_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    buckets: int = 64,
+    rows: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    entries_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs from ONE-hash-per-shingle OPH signatures — the
+    fetch-time variant of :func:`minhash_lsh_pairs`. When the pages table
+    already carries ``minhash_oph`` entries (cfg.minhash_at_fetch), pass
+    ``entries_col`` and candidate generation reads NO text at all: band
+    keys are zero-shuffle array expressions over the stored signature, the
+    self-join shuffles only (band, bucket, id) rows, and text is scanned
+    once — by the exact-Jaccard verify, restricted to candidates.
+
+    OPH banding groups ``rows`` consecutive BINS per band (vs `rows`
+    signature rows in the classic scheme); a band collides iff its
+    occupied-bin minima agree exactly, so for long docs (most bins
+    occupied) the collision probability per band is ≈ s^rows, same as
+    classic LSH. Empty bins (docs with < buckets shingles) make a band
+    key cover fewer minima — recall on the sf0.01 corpus vs the exact
+    pair set is pinned by tests/test_text_and_dedup_docs.py."""
+    from ospo_ghcrawler_spark.functions import text as _TXT
+
+    if entries_col is None:
+        src = docs.select(
+            F.col(id_col),
+            _TXT.minhash_oph_entries(F.col(text_col), buckets).alias("_e"),
+        )
+    else:
+        src = docs.select(F.col(id_col), F.col(entries_col).alias("_e"))
+    banded = (
+        src.select(F.col(id_col), F.explode(oph_band_keys(F.col("_e"), buckets, rows)).alias("bb"))
+        .filter(F.col("bb.n") > 0)
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    return jaccard_verify_candidates(docs, candidates, threshold, id_col, text_col)

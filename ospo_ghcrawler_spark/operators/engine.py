@@ -59,6 +59,9 @@ from ospo_ghcrawler_spark.schemas import FRONTIER_SCHEMA
 
 Fetcher = Callable[[DataFrame, DataFrame, CrawlConfig], DataFrame]
 
+# sparse OPH signature column type (schemas.py PAGES minhash_oph)
+_MINHASH_DT = "array<struct<bin:int,h:bigint>>"
+
 
 def harvest_feature_cols(cfg: CrawlConfig) -> list:
     """Fetch-time featurization columns for the harvest write (shared by the
@@ -91,13 +94,22 @@ def harvest_feature_cols(cfg: CrawlConfig) -> list:
             exprs.append(("winnow_fp", _TXT.winnow_fingerprints_tokens(t)))
         else:
             exprs.append(("winnow_fp", F.lit(None).cast("array<bigint>")))
+        if cfg.minhash_at_fetch:
+            # sparse OPH MinHash signature in the same pass: one xxhash64
+            # per word shingle, per-bin minima — the pages table comes out
+            # Jaccard-LSH-ready (oph_lsh_pairs consumes the stored column,
+            # candidates never re-read text). Opt-in: ~1 hash/word roughly
+            # doubles per-page harvest compute on full pages.
+            exprs.append(("minhash_oph", _TXT.minhash_oph_entries(t)))
+        else:
+            exprs.append(("minhash_oph", F.lit(None).cast(_MINHASH_DT)))
         return [F.when(ok_row, e).alias(nm) for nm, e in exprs]
     return [
         F.lit(None).cast(dt).alias(nm)
         for nm, dt in [
             ("n_tokens", "int"), ("n_types", "int"), ("n_punct", "int"),
             ("quality", "double"), ("lang_pred", "string"), ("fp", "string"),
-            ("winnow_fp", "array<bigint>"),
+            ("winnow_fp", "array<bigint>"), ("minhash_oph", _MINHASH_DT),
         ]
     ]
 

@@ -69,6 +69,22 @@ HARVEST_SCHEMA = T.StructType(
         # computed in the harvest pass (functions/text.py:
         # winnow_fingerprints_fast — xxhash64 grams, JVM-only)
         T.StructField("winnow_fp", T.ArrayType(T.LongType()), True),
+        # sparse OPH MinHash signature (cfg.minhash_at_fetch; null when
+        # disabled): per-bin minima of one-hash-per-shingle, the input to
+        # Jaccard-LSH banding without re-reading text
+        # (functions/text.py:minhash_oph_entries)
+        T.StructField(
+            "minhash_oph",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("bin", T.IntegerType(), False),
+                        T.StructField("h", T.LongType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
     ]
 )
 

@@ -172,3 +172,33 @@ def test_bloom_miss_detection_matches_default(spark, tmp_path):
     assert seen_a == seen_b
     assert n404_a == n404_b
     assert n404_a > 0, "fixture must exercise the miss path"
+
+
+def test_minhash_at_fetch_stores_lsh_ready_signatures(spark, tmp_path):
+    """cfg.minhash_at_fetch: the harvest pass stores the sparse OPH
+    signature; it must equal recomputation from the stored text, and
+    oph_lsh_pairs(entries_col=...) over the pages table must equal the
+    text-derived pair set (the no-text-rescan candidate path)."""
+    from ospo_ghcrawler_spark.functions import text as TXT
+    from ospo_ghcrawler_spark.operators import dedup_docs as DD
+
+    corpus = synth_pages(spark, n_pages=120, n_hosts=6, links_per_page=4).cache()
+    robots = synth_robots(spark, n_hosts=6)
+    cfg = CrawlConfig(batch_size=60, minhash_at_fetch=True)
+    c = Crawler(spark, str(tmp_path / "mh"), corpus, robots, cfg, run_id="mh")
+    c.seed([page_url(i, 120, 6, False) for i in range(8)])
+    c.run(30)
+
+    pages = c.catalog.table("pages").read().filter(F.col("status") == 200).cache()
+    assert pages.count() > 0
+    mismatch = pages.withColumn(
+        "re", TXT.minhash_oph_entries(F.col("text"))
+    ).filter(F.col("re") != F.col("minhash_oph")).count()
+    assert mismatch == 0
+
+    base = pages.select(F.col("url_hash").alias("doc_id"), "text", "minhash_oph")
+    from_col = {(r.a_id, r.b_id) for r in
+                DD.oph_lsh_pairs(base, 0.8, entries_col="minhash_oph").collect()}
+    from_text = {(r.a_id, r.b_id) for r in DD.oph_lsh_pairs(base, 0.8).collect()}
+    assert from_col == from_text
+    pages.unpersist()

@@ -219,3 +219,42 @@ def test_winnow_tokens_shared_run_detection(spark):
     short = spark.createDataFrame([(9, "just three words")], "doc_id int, text string")
     out = short.select(TXT.winnow_fingerprints_tokens(F.col("text")).alias("f")).collect()[0]["f"]
     assert out == []
+
+
+def test_oph_entries_properties(spark):
+    long_a = " ".join(f"w{i}" for i in range(200))
+    rows = [(0, long_a), (1, long_a), (2, long_a + " tail extra words here"),
+            (3, "too short"), (4, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.e for r in df.select(
+        "doc_id", TXT.minhash_oph_entries(F.col("text")).alias("e")).collect()}
+    # one entry per occupied bin, bins strictly increasing, pmod consistent
+    for e in (got[0], got[2]):
+        bins = [x.bin for x in e]
+        assert bins == sorted(set(bins))
+        assert all(x.h % 64 == x.bin for x in e)  # pmod(h, 64) == bin
+    assert got[0] == got[1]                       # deterministic
+    # near-identical docs share most per-bin minima
+    common = len(set((x.bin, x.h) for x in got[0]) & set((x.bin, x.h) for x in got[2]))
+    assert common / len(got[0]) > 0.8
+    assert got[3] == [] and got[4] == []          # < k words -> no shingles
+
+
+def test_oph_lsh_pairs_recall_vs_exact(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {(r.a_id, r.b_id) for r in DD.ngram_jaccard_pairs(docs, 0.8).collect()}
+    oph = {(r.a_id, r.b_id) for r in DD.oph_lsh_pairs(docs, 0.8).collect()}
+    assert oph <= exact, "exact verify stage must make precision 1.0"
+    assert len(oph & exact) / max(len(exact), 1) >= 0.95
+
+
+def test_oph_entries_col_equivalent_to_text_path(spark):
+    """A table carrying stored signatures (the cfg.minhash_at_fetch shape)
+    must yield the identical pair set without the text-derived signature
+    pass."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    with_sig = docs.withColumn("minhash_oph", TXT.minhash_oph_entries(F.col("text")))
+    from_text = {(r.a_id, r.b_id) for r in DD.oph_lsh_pairs(docs, 0.8).collect()}
+    from_col = {(r.a_id, r.b_id) for r in
+                DD.oph_lsh_pairs(with_sig, 0.8, entries_col="minhash_oph").collect()}
+    assert from_text == from_col
