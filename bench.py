@@ -137,7 +137,7 @@ BENCH_QUERIES = [
     "repeated_ngram_scrub", "binary_meta", "media_features",
     "embedding_topk", "ann_lsh", "ann_ivf",
     "winnow_fingerprint_fast", "winnow_fingerprint",
-    "minhash_lsh", "neardup_clusters",
+    "oph_minhash_lsh", "minhash_lsh", "neardup_clusters",
 ]
 
 

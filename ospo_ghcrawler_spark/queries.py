@@ -642,6 +642,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_MINHASH_LSH_SQL = Q_NGRAM_JACCARD_SQL
 
 
+def q_oph_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation-hashing MinHash LSH pairs (operators/dedup_docs.py:
+    oph_lsh_pairs — ONE hash per shingle vs 64 for the classic family;
+    the fetch-time signature path). Oracle = the exact Jaccard pair set:
+    precision 1.0 by the exact verify, recall on this fixed corpus
+    measured 1.0 (pinned ≥0.95 by tests/test_text_and_dedup_docs.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.oph_lsh_pairs(docs, JACCARD_T)
+
+
+Q_OPH_MINHASH_LSH_SQL = Q_NGRAM_JACCARD_SQL
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (no SQL oracle — hash-dependent; rows-only).
     Banding uses max_hamming+1 chunks, so recall at HAMMING_K is exhaustive
@@ -2410,6 +2423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "oph_minhash_lsh": q_oph_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
     "clean_corpus": q_clean_corpus,
     "simhash_pairs": q_simhash_pairs,
@@ -2493,6 +2507,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "minhash_lsh": Q_MINHASH_LSH_SQL,
+    "oph_minhash_lsh": Q_OPH_MINHASH_LSH_SQL,
     "neardup_clusters": Q_NEARDUP_CLUSTERS_SQL,
     "clean_corpus": Q_CLEAN_CORPUS_SQL,
     "token_stats": Q_TOKEN_STATS_SQL,
