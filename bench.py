@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "tfidf_top_terms", "link_pagerank", "link_hits", "link_components",
     "sitemap_parse", "robots_sitemaps", "registered_domain", "refetch_priority",
+    "domain_graph", "vocab_growth",
     "redirect_resolve", "anchor_texts", "snapshot_diff",
     "kmeans_clusters", "cluster_sample", "repeated_ngrams",
     "repeated_ngram_scrub", "binary_meta", "media_features",

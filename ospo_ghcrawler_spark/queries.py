@@ -2347,6 +2347,91 @@ Q_CDX_INDEX_SQL = f"""
 """
 
 
+N_DOMAINS = 25  # domain-graph rollup fan
+
+
+def q_domain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link-graph rollup: page-level edges collapsed to
+    (src_domain, dst_domain, n_links) — the grain a domain-reweighting or
+    spam-neighborhood analysis consumes (self-pairs = internal links, kept
+    so the consumer can compute internal/external ratios). At 100 TB the
+    rollup is ONE map-side-combined groupBy over the edge table — counts
+    combine before the shuffle, so wire traffic is O(domains²) not
+    O(edges)."""
+    from ospo_ghcrawler_spark.operators import graph as G
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = G.synthetic_link_edges(docs, n)
+    dom = lambda c: F.concat(  # noqa: E731
+        F.lit("site"), (F.col(c) % N_DOMAINS).cast("string"), F.lit(".example")
+    )
+    return (
+        edges.select(dom("src").alias("src_domain"), dom("dst").alias("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def _domain_graph_sql() -> str:
+    from ospo_ghcrawler_spark.operators import graph as G
+
+    edge_terms = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id*{G.EDGE_A} + {G.EDGE_C} + {j}*{G.EDGE_J}) % "
+        f"(SELECT c FROM n) AS dst FROM documents"
+        for j in range(G.EDGE_FANOUT)
+    )
+    return f"""
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    e AS (SELECT src, dst FROM ({edge_terms}) WHERE src <> dst)
+    SELECT 'site' || (src % {N_DOMAINS}) || '.example' AS src_domain,
+           'site' || (dst % {N_DOMAINS}) || '.example' AS dst_domain,
+           count(*) AS n_links
+    FROM e
+    GROUP BY 1, 2
+"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-growth report (Heaps'-law inputs): docs,
+    token mass, distinct terms and the type/token ratio — the statistic
+    that flags template-stamped or machine-generated sources (abnormally
+    low TTR for their size). Token mass combines map-side; distinct terms
+    are one (source, term) dedup shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(TXT.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    per_term = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    out = per_term.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        F.sum("tf").alias("n_tokens"),
+        (F.count("*") / F.sum("tf")).alias("type_token_ratio"),
+    )
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return n_docs.join(out, "source").select(
+        "source", "n_docs", "n_tokens", "n_terms", "type_token_ratio"
+    )
+
+
+Q_VOCAB_GROWTH_SQL = """
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term
+      FROM documents
+    ),
+    per_term AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(tf) AS BIGINT) AS n_tokens,
+             count(*) / CAST(sum(tf) AS DOUBLE) AS type_token_ratio
+      FROM per_term GROUP BY 1
+    ),
+    nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT nd.source, n_docs, n_tokens, n_terms, type_token_ratio
+    FROM nd JOIN agg ON nd.source = agg.source
+"""
+
+
 FUNNEL_LANG = "en"
 FUNNEL_MIN_TOKENS = 20
 FUNNEL_MIN_QUALITY = 0.5
@@ -2449,6 +2534,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": q_corpus_mix,
     "link_pagerank": q_link_pagerank,
     "link_hits": q_link_hits,
+    "domain_graph": q_domain_graph,
+    "vocab_growth": q_vocab_growth,
     # event-stream analytics
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
@@ -2530,6 +2617,8 @@ ORACLES: dict[str, str] = {
     "corpus_mix": Q_CORPUS_MIX_SQL,
     "link_pagerank": _link_pagerank_sql(),
     "link_hits": _link_hits_sql(),
+    "domain_graph": _domain_graph_sql(),
+    "vocab_growth": Q_VOCAB_GROWTH_SQL,
     "sessionize": EV.sessionize_sql(),
     "session_stats": EV.session_stats_sql(),
     "asof_match": EV.asof_match_sql(),
