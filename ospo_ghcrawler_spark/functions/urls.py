@@ -19,7 +19,7 @@ Two implementations, pinned byte-identical by tests:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -255,3 +255,59 @@ def registered_domain_sql_expr(host_expr: str) -> str:
         THEN {parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1]
       ELSE {parts}[-2] || '.' || {parts}[-1]
     END"""
+
+
+def mine_dust_rules(pages: DataFrame) -> DataFrame:
+    """DUST mining — Different URLs with Similar Text (Bar-Yossef et al.
+    2007, "Do Not Crawl in the DUST"): from pages whose *content* is
+    identical but whose URLs differ, infer which URL rewrite rule explains
+    each alias, producing a url → canonical rewrite map a frontier can
+    apply BEFORE fetching (every collapsed alias is a fetch saved; the
+    reference only dedups after fetch via its visitedUrlCache —
+    providers/storage/* — so this is a beyond-reference curation pass).
+
+    Input: (url, host, content_key) — content_key is any content-equality
+    witness (md5 of extracted text, simhash bucket, …).
+
+    Canonical representative: the lexicographically smallest url of the
+    content group (deterministic, partition-independent). Each OTHER url in
+    the group is classified by the single transformation that maps it to
+    the representative:
+
+    - ``strip_query``  — dropping ``?…`` yields the canonical url
+    - ``strip_slash``  — dropping one trailing ``/`` yields it
+    - ``strip_www``    — dropping a ``www.`` host prefix yields it
+    - ``other``        — aliased content with no single-rule explanation
+
+    Returns (url, rep_url, host, rule), one row per non-canonical alias.
+
+    Plan / 100-TB posture: the representative is ONE window min keyed on
+    content_key (same shuffle shape as exact dedup — map-side combine via
+    AQE, no join back because the window carries the group min to every
+    row); classification is pure JVM string expressions. Nothing is
+    quadratic: group size never matters because each alias row compares
+    only to its group's min, not to every peer.
+    """
+    win = Window.partitionBy("content_key")
+    rep = F.col("rep_url")
+    rule = (
+        F.when(F.col("url") == F.concat(rep, F.lit("/")), "strip_slash")
+        .when(F.substring_index(F.col("url"), "?", 1) == rep, "strip_query")
+        .when(
+            F.replace(
+                F.col("url"), F.lit("http://www."), F.lit("http://")
+            )
+            == rep,
+            "strip_www",
+        )
+        .otherwise("other")
+    )
+    # rep_url materializes BEFORE the alias filter: classifying against a
+    # re-derived window min would see a group whose canonical row is gone
+    return (
+        pages.select(
+            "url", "host", F.min("url").over(win).alias("rep_url")
+        )
+        .filter(F.col("url") != F.col("rep_url"))
+        .select("url", "rep_url", "host", rule.alias("rule"))
+    )

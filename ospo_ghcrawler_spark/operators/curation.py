@@ -515,3 +515,128 @@ def filter_funnel(
             "'quality', n2, n3, 'exact_dedup', n3, n4) AS (stage, n_in, n_kept)"
         )
     )
+
+
+def host_boilerplate(
+    docs: DataFrame, width: int = 3, min_docs: int = 2
+) -> DataFrame:
+    """Per-site boilerplate detection (CCNet/RefinedWeb cleaning stage:
+    navigation bars, footers, cookie banners repeat across the pages of one
+    site and must not count as content): a chunk is *boilerplate within a
+    source* when it occurs in >= *min_docs* distinct documents of that
+    source. Production corpora use a document-frequency share (e.g. half
+    the site's pages); the absolute floor is kept here because the
+    synthetic corpus tops out at df=2.
+
+    Chunking matches :func:`paragraph_dedup` (non-overlapping *width*-word
+    windows over the tokenized text) so the two passes see the same units.
+
+    Returns one row per document: (doc_id, source, n_chunks,
+    n_boiler_chunks, is_mostly_boiler) — the last flags documents where
+    boilerplate is at least half the chunks (the drop rule a cleaning
+    funnel applies).
+
+    Plan / 100-TB posture: chunking is a zero-shuffle array projection; the
+    per-(source, chunk) document frequency is ONE shuffle with map-side
+    combine (distinct occurrences first, so a chunk repeated inside one doc
+    counts once); the df verdict returns to occurrences by a self-join on
+    the same (source, chunk) key — AQE plans it as a shuffle-reuse or
+    broadcast depending on the boilerplate set's measured size; the per-doc
+    rollup is one final AQE-coalesced aggregation. The text column is
+    scanned once.
+    """
+    w = TXT.tokens(F.col("text"))
+    starts = F.when(
+        F.size(w) >= 1,
+        F.sequence(F.lit(0), F.floor((F.size(w) - 1) / width).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts, lambda i: F.array_join(F.slice(w, i * width + 1, width), " ")
+    )
+    occ = docs.select(
+        "doc_id", "source", F.explode(chunks).alias("chunk")
+    )
+    df_per_chunk = (
+        occ.select("source", "chunk", "doc_id")
+        .distinct()
+        .groupBy("source", "chunk")
+        .agg(F.count("*").alias("df"))
+    )
+    boiler = df_per_chunk.filter(F.col("df") >= min_docs).select(
+        "source", "chunk", F.lit(True).alias("is_boiler")
+    )
+    per_doc = (
+        occ.join(boiler, ["source", "chunk"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler_chunks"),
+        )
+    )
+    # chunkless (empty-text) docs still get a row
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, ["doc_id", "source"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_chunks", F.lit(0).cast("long")).alias("n_chunks"),
+            F.coalesce("n_boiler_chunks", F.lit(0).cast("long")).alias(
+                "n_boiler_chunks"
+            ),
+            (
+                (F.coalesce("n_chunks", F.lit(0).cast("long")) > 0)
+                & (
+                    F.coalesce("n_boiler_chunks", F.lit(0).cast("long")) * 2
+                    >= F.coalesce("n_chunks", F.lit(0).cast("long"))
+                )
+            ).alias("is_mostly_boiler"),
+        )
+    )
+
+
+def host_boilerplate_sql(width: int = 3, min_docs: int = 2) -> str:
+    """Exact-replica DuckDB oracle for :func:`host_boilerplate` (same
+    tokenization, chunk boundaries, df rule, and per-doc rollup)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_extract_all(text, '[A-Za-z0-9]+') AS words
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, source,
+             array_to_string(
+               list_slice(words, i * {width} + 1, i * {width} + {width}), ' '
+             ) AS chunk
+      FROM (
+        SELECT doc_id, source, words,
+               unnest(range(0, CAST(floor((len(words) - 1) / {width}) AS BIGINT) + 1))
+                 AS i
+        FROM toks WHERE len(words) >= 1
+      )
+    ),
+    dfreq AS (
+      SELECT source, chunk, count(DISTINCT doc_id) AS df
+      FROM occ GROUP BY source, chunk
+    ),
+    boiler AS (
+      SELECT source, chunk, TRUE AS is_boiler FROM dfreq WHERE df >= {min_docs}
+    ),
+    per_doc AS (
+      SELECT o.doc_id, o.source,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(b.is_boiler) AS BIGINT) AS n_boiler_chunks
+      FROM occ o LEFT JOIN boiler b
+        ON o.source = b.source AND o.chunk = b.chunk
+      GROUP BY o.doc_id, o.source
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(p.n_chunks, 0) AS n_chunks,
+           COALESCE(p.n_boiler_chunks, 0) AS n_boiler_chunks,
+           COALESCE(p.n_chunks, 0) > 0 AND
+             COALESCE(p.n_boiler_chunks, 0) * 2 >= COALESCE(p.n_chunks, 0)
+             AS is_mostly_boiler
+    FROM documents d LEFT JOIN per_doc p USING (doc_id, source)
+    """

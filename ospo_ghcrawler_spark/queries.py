@@ -2483,6 +2483,73 @@ Q_FILTER_FUNNEL_SQL = f"""
 """
 
 
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST url-alias rule mining (Bar-Yossef et al. 2007) over a frontier
+    synthesized with planted alias families: per content group (o_custkey),
+    orders become url variants — canonical, ``?sid=`` query alias, trailing
+    slash, ``www.`` host prefix — and the miner recovers which rewrite rule
+    maps each alias to its group's canonical url. The resulting rewrite map
+    collapses aliases BEFORE fetch (each collapsed alias is a saved fetch —
+    the reference can only dedup after fetching, visitedUrlCache)."""
+    o = _t(spark, sf_dir, "orders")
+    site = F.concat(
+        F.lit("host"), (F.col("o_custkey") % N_HOSTS).cast("string"), F.lit(".example")
+    )
+    base = F.concat(F.lit("http://"), site, F.lit("/d"), F.col("o_custkey").cast("string"))
+    v = F.col("o_orderkey") % 4
+    url = (
+        F.when(
+            v == 3,
+            F.concat(
+                F.lit("http://www."), site, F.lit("/d"), F.col("o_custkey").cast("string")
+            ),
+        )
+        .when(v == 1, F.concat(base, F.lit("?sid="), F.col("o_orderkey").cast("string")))
+        .when(v == 2, F.concat(base, F.lit("/")))
+        .otherwise(base)
+    )
+    pages = o.select(
+        url.alias("url"), site.alias("host"), F.col("o_custkey").alias("content_key")
+    )
+    return U.mine_dust_rules(pages)
+
+
+Q_DUST_RULES_SQL = f"""
+    WITH p AS (
+      SELECT CASE WHEN o_orderkey % 4 = 3
+               THEN 'http://www.host' || (o_custkey % {N_HOSTS}) || '.example/d' || o_custkey
+               ELSE 'http://host' || (o_custkey % {N_HOSTS}) || '.example/d' || o_custkey ||
+                 CASE WHEN o_orderkey % 4 = 1 THEN '?sid=' || o_orderkey
+                      WHEN o_orderkey % 4 = 2 THEN '/' ELSE '' END
+             END AS url,
+             'host' || (o_custkey % {N_HOSTS}) || '.example' AS host,
+             o_custkey AS content_key
+      FROM orders
+    ),
+    r AS (
+      SELECT url, host,
+             min(url) OVER (PARTITION BY content_key) AS rep_url
+      FROM p
+    )
+    SELECT url, rep_url, host,
+           CASE WHEN url = rep_url || '/' THEN 'strip_slash'
+                WHEN split_part(url, '?', 1) = rep_url THEN 'strip_query'
+                WHEN replace(url, 'http://www.', 'http://') = rep_url THEN 'strip_www'
+                ELSE 'other' END AS rule
+    FROM r WHERE url != rep_url
+"""
+
+
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate chunk detection (CCNet/RefinedWeb cleaning
+    stage): chunks recurring across a source's documents are flagged and
+    each document reports its boilerplate fraction."""
+    return CU.host_boilerplate(_t(spark, sf_dir, "documents"))
+
+
+Q_HOST_BOILERPLATE_SQL = CU.host_boilerplate_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2523,6 +2590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_ngrams": q_repeated_ngrams,
     "repeated_ngram_scrub": q_repeated_ngram_scrub,
     "paragraph_dedup": q_paragraph_dedup,
+    "host_boilerplate": q_host_boilerplate,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "pii_scrub": q_pii_scrub,
@@ -2551,6 +2619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "source_quality": q_source_quality,
     "url_trap": q_url_trap,
+    "dust_rules": q_dust_rules,
     "token_rarity": q_token_rarity,
     "robots_sitemaps": q_robots_sitemaps,
     "registered_domain": q_registered_domain,
@@ -2606,6 +2675,8 @@ ORACLES: dict[str, str] = {
     "repeated_ngrams": Q_REPEATED_NGRAMS_SQL,
     "repeated_ngram_scrub": Q_REPEATED_NGRAM_SCRUB_SQL,
     "paragraph_dedup": CU.paragraph_dedup_sql(width=3),
+    "host_boilerplate": Q_HOST_BOILERPLATE_SQL,
+    "dust_rules": Q_DUST_RULES_SQL,
     "decontaminate": Q_DECONTAMINATE_SQL,
     "decontaminate_bloom": Q_DECONTAMINATE_SQL,  # row-identical scale path
     "pii_scrub": Q_PII_SCRUB_SQL,

@@ -244,3 +244,31 @@ def test_filter_funnel_hand_counts(spark):
     order = ["language", "length", "quality", "exact_dedup"]
     for prev, cur in zip(order, order[1:]):
         assert got[cur][0] == got[prev][1]
+
+
+def test_host_boilerplate_planted(spark):
+    # src A: "nav bar home" opens 3 of 4 docs (boilerplate); src B: no repeats
+    bp = "nav bar home "
+    rows = [
+        (0, bp + "alpha beta gamma delta epsilon zeta", "A"),
+        (1, bp + "one two three four five six", "A"),
+        (2, bp + "red green blue cyan magenta yellow", "A"),
+        (3, "unique words only here nothing shared", "A"),
+        (4, "b completely distinct text first", "B"),
+        (5, "b another unrelated text second", "B"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in CU.host_boilerplate(docs, width=3, min_docs=2).collect()}
+    # docs 0-2 each have 3 chunks; exactly the shared "nav bar home" chunk is boilerplate
+    for d in (0, 1, 2):
+        assert got[d].n_chunks == 3 and got[d].n_boiler_chunks == 1
+        assert not got[d].is_mostly_boiler
+    assert got[3].n_boiler_chunks == 0
+    assert got[4].n_boiler_chunks == 0 and got[5].n_boiler_chunks == 0
+    # a doc that is half boilerplate trips the drop flag
+    docs2 = spark.createDataFrame(
+        [(0, bp + "alpha beta gamma", "A"), (1, bp + "one two three", "A")],
+        "doc_id long, text string, source string",
+    )
+    got2 = {r.doc_id: r for r in CU.host_boilerplate(docs2, width=3, min_docs=2).collect()}
+    assert got2[0].is_mostly_boiler and got2[1].is_mostly_boiler

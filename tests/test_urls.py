@@ -79,3 +79,29 @@ def test_surt_col_cdx_convention(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r["s"] for r in df.select(surt_col(F.col("url")).alias("s")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_mine_dust_rules_planted(spark):
+    from ospo_ghcrawler_spark.functions.urls import mine_dust_rules
+
+    rows = [
+        ("http://a.example/x", "a.example", 1),          # canonical (lexic. min)
+        ("http://a.example/x?sid=9", "a.example", 1),    # query alias
+        ("http://a.example/x/", "a.example", 1),         # slash alias
+        ("http://www.a.example/x", "a.example", 1),      # www alias
+        ("http://b.example/y", "b.example", 2),          # lone url: no output row
+        ("http://c.example/z/", "c.example", 3),         # no canonical in group:
+        ("http://c.example/z?k=1", "c.example", 3),      #   rep = slash variant
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, content_key long")
+    got = {r.url: r for r in mine_dust_rules(df).collect()}
+    assert len(got) == 4  # three aliases of group 1 + one unexplained of group 3
+    assert got["http://a.example/x?sid=9"].rule == "strip_query"
+    assert got["http://a.example/x/"].rule == "strip_slash"
+    assert got["http://www.a.example/x"].rule == "strip_www"
+    rep = "http://c.example/z/"  # '/' sorts below '?' — slash variant is min
+    other = got["http://c.example/z?k=1"]
+    assert other.rep_url == rep and other.rule == "other"
+    for r in got.values():
+        if r.url.startswith("http://a") or r.url.startswith("http://www.a"):
+            assert r.rep_url == "http://a.example/x"
