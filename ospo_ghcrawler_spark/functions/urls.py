@@ -311,3 +311,67 @@ def mine_dust_rules(pages: DataFrame) -> DataFrame:
         .filter(F.col("url") != F.col("rep_url"))
         .select("url", "rep_url", "host", rule.alias("rule"))
     )
+
+
+def generalize_dust_rules(
+    pairs: DataFrame, min_support: int = 2
+) -> DataFrame:
+    """Generalize per-url DUST pairs (:func:`mine_dust_rules` output) into
+    per-host rewrite RULES a frontier can apply to urls never seen before
+    (the point of Bar-Yossef et al.'s rule induction: the alias families
+    observed in yesterday's crawl predict today's). A (host, rule) survives
+    when at least *min_support* distinct aliases witnessed it; the
+    unexplained ``other`` class never generalizes.
+
+    Returns (host, rule, support). Plan: one map-side-combined groupBy over
+    the pair set (dup-rate × corpus rows, not corpus), output is a
+    hosts-sized dim — broadcastable by construction.
+    """
+    return (
+        pairs.filter(F.col("rule") != "other")
+        .groupBy("host", "rule")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def apply_dust_rules(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """Rewrite frontier urls by generalized DUST rules BEFORE fetch: every
+    alias collapsed here is a fetch (and a politeness-budget slot) saved,
+    versus the reference which pays the fetch and dedups afterwards in its
+    visitedUrlCache.
+
+    *urls* needs (url, host); *rules* is :func:`generalize_dust_rules`
+    output. Rules compose in a fixed precedence (strip_query, then
+    strip_slash, then strip_www) so ``http://www.h/x?sid=1`` collapses
+    fully when its host carries all three.
+
+    Returns the input columns plus ``url_rewritten``. Plan / 100-TB
+    posture: the rules dim is pivoted to three boolean flags per host
+    (groupBy over a hosts-sized input) and joined BROADCAST onto the
+    frontier — the frontier itself never shuffles; the rewrites are three
+    conditional JVM string expressions inside the frontier's codegen span.
+    """
+    flags = rules.groupBy("host").agg(
+        F.max(F.col("rule") == "strip_query").alias("r_query"),
+        F.max(F.col("rule") == "strip_slash").alias("r_slash"),
+        F.max(F.col("rule") == "strip_www").alias("r_www"),
+    )
+    j = urls.join(F.broadcast(flags), "host", "left")
+    u1 = F.when(
+        F.coalesce("r_query", F.lit(False)),
+        F.substring_index(F.col("url"), "?", 1),
+    ).otherwise(F.col("url"))
+    u2 = F.when(
+        F.coalesce("r_slash", F.lit(False)) & u1.endswith("/"),
+        u1.substr(F.lit(1), F.length(u1) - 1),
+    ).otherwise(u1)
+    return j.select(
+        *urls.columns,
+        F.when(
+            F.coalesce("r_www", F.lit(False)),
+            F.replace(u2, F.lit("http://www."), F.lit("http://")),
+        )
+        .otherwise(u2)
+        .alias("url_rewritten"),
+    )

@@ -2483,15 +2483,11 @@ Q_FILTER_FUNNEL_SQL = f"""
 """
 
 
-def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DUST url-alias rule mining (Bar-Yossef et al. 2007) over a frontier
-    synthesized with planted alias families: per content group (o_custkey),
-    orders become url variants — canonical, ``?sid=`` query alias, trailing
-    slash, ``www.`` host prefix — and the miner recovers which rewrite rule
-    maps each alias to its group's canonical url. The resulting rewrite map
-    collapses aliases BEFORE fetch (each collapsed alias is a saved fetch —
-    the reference can only dedup after fetching, visitedUrlCache)."""
-    o = _t(spark, sf_dir, "orders")
+def _dust_pages(o: DataFrame) -> DataFrame:
+    """orders → (url, host, content_key) with planted DUST alias families:
+    per content group (o_custkey) the four o_orderkey%4 variants are the
+    canonical url, a ``?sid=`` query alias, a trailing-slash alias, and a
+    ``www.`` host-prefix alias."""
     site = F.concat(
         F.lit("host"), (F.col("o_custkey") % N_HOSTS).cast("string"), F.lit(".example")
     )
@@ -2508,10 +2504,20 @@ def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 2, F.concat(base, F.lit("/")))
         .otherwise(base)
     )
-    pages = o.select(
+    return o.select(
         url.alias("url"), site.alias("host"), F.col("o_custkey").alias("content_key")
     )
-    return U.mine_dust_rules(pages)
+
+
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST url-alias rule mining (Bar-Yossef et al. 2007) over a frontier
+    synthesized with planted alias families: per content group (o_custkey),
+    orders become url variants — canonical, ``?sid=`` query alias, trailing
+    slash, ``www.`` host prefix — and the miner recovers which rewrite rule
+    maps each alias to its group's canonical url. The resulting rewrite map
+    collapses aliases BEFORE fetch (each collapsed alias is a saved fetch —
+    the reference can only dedup after fetching, visitedUrlCache)."""
+    return U.mine_dust_rules(_dust_pages(_t(spark, sf_dir, "orders")))
 
 
 Q_DUST_RULES_SQL = f"""
@@ -2537,6 +2543,109 @@ Q_DUST_RULES_SQL = f"""
                 WHEN replace(url, 'http://www.', 'http://') = rep_url THEN 'strip_www'
                 ELSE 'other' END AS rule
     FROM r WHERE url != rep_url
+"""
+
+
+def q_dust_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized DUST rules applied to a NEVER-SEEN frontier: rules are
+    mined only from even-custkey orders (so only even-numbered hosts earn
+    rules), generalized per (host, rule) at min_support=2, then applied to
+    a lineitem-derived frontier spanning ALL hosts — even hosts' aliases
+    collapse, odd hosts' urls pass through untouched. The frontier never
+    shuffles: the rules dim is broadcast and the rewrites are conditional
+    JVM string expressions."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 2 == 0)
+    rules = U.generalize_dust_rules(U.mine_dust_rules(_dust_pages(o)), min_support=2)
+    li = _t(spark, sf_dir, "lineitem")
+    site = F.concat(
+        F.lit("host"), (F.col("l_partkey") % N_HOSTS).cast("string"), F.lit(".example")
+    )
+    path = F.concat(
+        F.lit("/q"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("x"),
+        F.col("l_linenumber").cast("string"),
+    )
+    base = F.concat(F.lit("http://"), site, path)
+    v = (F.col("l_orderkey") + F.col("l_linenumber")) % 4
+    url = (
+        F.when(v == 3, F.concat(F.lit("http://www."), site, path))
+        .when(v == 1, F.concat(base, F.lit("?sid="), F.col("l_suppkey").cast("string")))
+        .when(v == 2, F.concat(base, F.lit("/")))
+        .otherwise(base)
+    )
+    frontier = li.select(url.alias("url"), site.alias("host"))
+    return U.apply_dust_rules(frontier, rules)
+
+
+Q_DUST_APPLY_SQL = f"""
+    WITH src AS (SELECT * FROM orders WHERE o_custkey % 2 = 0),
+    p AS (
+      SELECT CASE WHEN o_orderkey % 4 = 3
+               THEN 'http://www.host' || (o_custkey % {N_HOSTS}) || '.example/d' || o_custkey
+               ELSE 'http://host' || (o_custkey % {N_HOSTS}) || '.example/d' || o_custkey ||
+                 CASE WHEN o_orderkey % 4 = 1 THEN '?sid=' || o_orderkey
+                      WHEN o_orderkey % 4 = 2 THEN '/' ELSE '' END
+             END AS url,
+             'host' || (o_custkey % {N_HOSTS}) || '.example' AS host,
+             o_custkey AS content_key
+      FROM src
+    ),
+    r AS (
+      SELECT url, host, min(url) OVER (PARTITION BY content_key) AS rep_url FROM p
+    ),
+    pairs AS (
+      SELECT url, host,
+             CASE WHEN url = rep_url || '/' THEN 'strip_slash'
+                  WHEN split_part(url, '?', 1) = rep_url THEN 'strip_query'
+                  WHEN replace(url, 'http://www.', 'http://') = rep_url THEN 'strip_www'
+                  ELSE 'other' END AS rule
+      FROM r WHERE url != rep_url
+    ),
+    rules AS (
+      SELECT host, rule FROM pairs WHERE rule != 'other'
+      GROUP BY host, rule HAVING count(*) >= 2
+    ),
+    flags AS (
+      SELECT host, bool_or(rule = 'strip_query') AS r_query,
+             bool_or(rule = 'strip_slash') AS r_slash,
+             bool_or(rule = 'strip_www') AS r_www
+      FROM rules GROUP BY host
+    ),
+    f AS (
+      SELECT CASE WHEN (l_orderkey + l_linenumber) % 4 = 3
+               THEN 'http://www.host' || (l_partkey % {N_HOSTS}) || '.example/q'
+                      || l_orderkey || 'x' || l_linenumber
+               ELSE 'http://host' || (l_partkey % {N_HOSTS}) || '.example/q'
+                      || l_orderkey || 'x' || l_linenumber ||
+                 CASE WHEN (l_orderkey + l_linenumber) % 4 = 1 THEN '?sid=' || l_suppkey
+                      WHEN (l_orderkey + l_linenumber) % 4 = 2 THEN '/' ELSE '' END
+             END AS url,
+             'host' || (l_partkey % {N_HOSTS}) || '.example' AS host
+      FROM lineitem
+    ),
+    j AS (
+      SELECT f.url, f.host,
+             COALESCE(fl.r_query, FALSE) AS rq,
+             COALESCE(fl.r_slash, FALSE) AS rs,
+             COALESCE(fl.r_www, FALSE) AS rw
+      FROM f LEFT JOIN flags fl ON f.host = fl.host
+    ),
+    s1 AS (
+      SELECT url, host, rs, rw,
+             CASE WHEN rq THEN split_part(url, '?', 1) ELSE url END AS u1
+      FROM j
+    ),
+    s2 AS (
+      SELECT url, host, rw,
+             CASE WHEN rs AND u1 LIKE '%/' THEN substr(u1, 1, len(u1) - 1)
+                  ELSE u1 END AS u2
+      FROM s1
+    )
+    SELECT url, host,
+           CASE WHEN rw THEN replace(u2, 'http://www.', 'http://') ELSE u2 END
+             AS url_rewritten
+    FROM s2
 """
 
 
@@ -2620,6 +2729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quality": q_source_quality,
     "url_trap": q_url_trap,
     "dust_rules": q_dust_rules,
+    "dust_apply": q_dust_apply,
     "token_rarity": q_token_rarity,
     "robots_sitemaps": q_robots_sitemaps,
     "registered_domain": q_registered_domain,
@@ -2677,6 +2787,7 @@ ORACLES: dict[str, str] = {
     "paragraph_dedup": CU.paragraph_dedup_sql(width=3),
     "host_boilerplate": Q_HOST_BOILERPLATE_SQL,
     "dust_rules": Q_DUST_RULES_SQL,
+    "dust_apply": Q_DUST_APPLY_SQL,
     "decontaminate": Q_DECONTAMINATE_SQL,
     "decontaminate_bloom": Q_DECONTAMINATE_SQL,  # row-identical scale path
     "pii_scrub": Q_PII_SCRUB_SQL,

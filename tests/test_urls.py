@@ -105,3 +105,62 @@ def test_mine_dust_rules_planted(spark):
     for r in got.values():
         if r.url.startswith("http://a") or r.url.startswith("http://www.a"):
             assert r.rep_url == "http://a.example/x"
+
+
+def test_dust_generalize_and_apply(spark):
+    from ospo_ghcrawler_spark.functions.urls import (
+        apply_dust_rules,
+        generalize_dust_rules,
+        mine_dust_rules,
+    )
+
+    # host a witnesses the query rule twice (generalizes) and www once
+    # (support 1: does NOT generalize); host b witnesses nothing
+    rows = [
+        ("http://a.example/x", "a.example", 1),
+        ("http://a.example/x?s=1", "a.example", 1),
+        ("http://a.example/y", "a.example", 2),
+        ("http://a.example/y?s=2", "a.example", 2),
+        ("http://a.example/z", "a.example", 3),
+        ("http://www.a.example/z", "a.example", 3),
+    ]
+    mined = mine_dust_rules(
+        spark.createDataFrame(rows, "url string, host string, content_key long")
+    )
+    rules = generalize_dust_rules(mined, min_support=2)
+    got = {(r.host, r.rule): r.support for r in rules.collect()}
+    assert got == {("a.example", "strip_query"): 2}
+
+    # applied to urls NEVER seen by the miner: query stripped on host a
+    # only; un-generalized www and unknown-host urls pass through
+    frontier = spark.createDataFrame(
+        [
+            ("http://a.example/new?k=9", "a.example"),
+            ("http://www.a.example/new", "a.example"),
+            ("http://b.example/other?k=1", "b.example"),
+        ],
+        "url string, host string",
+    )
+    out = {r.url: r.url_rewritten for r in apply_dust_rules(frontier, rules).collect()}
+    assert out["http://a.example/new?k=9"] == "http://a.example/new"
+    assert out["http://www.a.example/new"] == "http://www.a.example/new"
+    assert out["http://b.example/other?k=1"] == "http://b.example/other?k=1"
+
+
+def test_dust_apply_rule_composition(spark):
+    from ospo_ghcrawler_spark.functions.urls import apply_dust_rules
+
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "strip_query", 5),
+            ("a.example", "strip_slash", 5),
+            ("a.example", "strip_www", 5),
+        ],
+        "host string, rule string, support long",
+    )
+    frontier = spark.createDataFrame(
+        [("http://www.a.example/p/?sid=1", "a.example")], "url string, host string"
+    )
+    out = apply_dust_rules(frontier, rules).collect()[0]
+    # precedence: query, then slash, then www — full collapse
+    assert out.url_rewritten == "http://a.example/p"
