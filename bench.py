@@ -528,32 +528,43 @@ def run_calibration(
 
 
 def _size_pages(
-    raw_budget_s: float, w: float, f: float, sub_overhead_s: float = SUB_OVERHEAD_S
+    raw_budget_s: float,
+    w: float,
+    f: float,
+    sub_overhead_s: float = SUB_OVERHEAD_S,
+    slowdown: float | None = None,
 ) -> tuple[int, float]:
     """(page count, target W core-sec) for the crawl pair, from the MEASURED
     host model. The ratio needs W large relative to F in *time* units —
-    predict(W) = (W+F)/(W+4F) for the (1,4) pair — so the target is
-    W = 16F (predict ≈ 0.85) budget-permitting; pair wall =
+    predict(W) = (W+F)/(W+4F) for the (1,4) pair; pair wall =
     W·(1/lo + 1/hi) + 2F + 2·overhead.
 
-    TWO pairs beat one bigger pair when they fit: identical legs swing
-    ±30-40% wall on this host, and a single-rep ratio was measured landing
-    0.63 on a pair whose re-run best-of gave ≥0.78 — so size for two full
-    pairs (min-of-2 per side) whenever the two-pair W still clears the
-    14F ratio-validity floor (predict ≈ 0.833); otherwise fall back to one
-    pair sized with 25% spike-fallback headroom."""
+    The reps-vs-size tradeoff is NOISE-ADAPTIVE (the calibration's measured
+    *slowdown* is the noise proxy — SCALING_NOTES §3j shows the measured
+    ratio is a dose-response of it):
+
+    - LOUD host (slowdown > 1.7 or unknown): identical legs swing ±30-40%
+      wall (a single-rep ratio measured 0.63 where best-of-reps gave
+      ≥0.78), so REPS dominate — prefer the most pairs clearing the 14F
+      ratio-validity floor (predict ≥ 0.833), up to four, capped at 24F.
+    - QUIET host (slowdown ≤ 1.7): rep variance is small but the F-fraction
+      still caps the ceiling — the 2026-08-19 22:40 run sized k=4/W≈14F on
+      a 1.94× host and measured 0.799 against a predict of 0.836, leaving
+      nothing for size when W could have been 21F (predict 0.879) at k=3.
+      Prefer THREE pairs at a 16F floor, then two, then the loud-host
+      ladder; min-of-3 still absorbs the residual quiet-host jitter.
+    """
     per_core = 1 / CORES_LO + 1 / CORES_HI
-    # Prefer the MOST pairs that clear the 14F ratio-validity floor
-    # (predict >= 0.833), capped at 24F (predict 0.862 — diminishing
-    # returns above). On 2026-08-18 a single-rep pair landed 0.572 under a
-    # ~40% hi-side neighbor hit while same-day legs minutes apart ran
-    # on-model: under that noise regime REPS dominate ceiling — min-of-4
-    # recovers the unloaded walls far more reliably than one taller pair.
-    # Measured efficiency lands ~0.03-0.05 below the noise-free predict
-    # (0.784 on a 14F/0.833-predict pair), so the floor stays at 14F.
-    for k in (4, 3, 2):
-        fit_Wk = (raw_budget_s / k - 2 * f - 2 * sub_overhead_s) / per_core
-        if fit_Wk >= 14 * f:
+
+    def fit(k: int) -> float:
+        return (raw_budget_s / k - 2 * f - 2 * sub_overhead_s) / per_core
+
+    ladder: list[tuple[int, float]] = [(4, 14.0), (3, 14.0), (2, 14.0)]
+    if slowdown is not None and slowdown <= 1.7:
+        ladder = [(3, 16.0), (2, 16.0)] + ladder
+    for k, floor in ladder:
+        fit_Wk = fit(k)
+        if fit_Wk >= floor * f:
             target_W = min(24 * f, fit_Wk)
             break
     else:
@@ -645,7 +656,9 @@ def main() -> None:
     # the politeness leg and query timings are best-effort from whatever
     # the pairs leave
     legs_budget = _remaining() - build_est - 60
-    n_pages, target_W = _size_pages(legs_budget, w_cal, f_cal, sub_ov)
+    n_pages, target_W = _size_pages(
+        legs_budget, w_cal, f_cal, sub_ov, slowdown=slowdown
+    )
     degraded = target_W < 11 * f_cal  # ratio-validity floor (predict < 0.8)
     forced_reps = os.environ.get("SPARK_GRAFT_BENCH_REPS")
     partial.update(

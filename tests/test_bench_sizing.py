@@ -1,0 +1,44 @@
+"""Pins for bench.py's noise-adaptive pair sizing (pure arithmetic — no
+Spark): the reps-vs-size ladder must prefer repetitions on loud hosts and
+W/F headroom on quiet ones, and never emit a ratio-invalid size."""
+
+import importlib.util
+from pathlib import Path
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_quiet_host_prefers_size_over_reps(bench):
+    budget, w, f, ov = 1360.0, 0.0044, 12.0, 30.0
+    _, w_quiet = bench._size_pages(budget, w, f, ov, slowdown=1.3)
+    _, w_loud = bench._size_pages(budget, w, f, ov, slowdown=2.8)
+    assert w_quiet > w_loud
+    # quiet sizing reaches the 24F cap when the budget allows
+    assert w_quiet == pytest.approx(24 * f)
+
+
+def test_loud_and_unknown_hosts_keep_rep_first_ladder(bench):
+    budget, w, f, ov = 1360.0, 0.006, 12.0, 30.0
+    _, w_none = bench._size_pages(budget, w, f, ov, slowdown=None)
+    _, w_loud = bench._size_pages(budget, w, f, ov, slowdown=2.5)
+    assert w_none == w_loud  # unknown slowdown treated as loud
+
+
+def test_sizes_never_ratio_invalid(bench):
+    # every emitted W clears the single-pair fallback floor in time units
+    for budget in (400.0, 900.0, 1650.0, 3000.0):
+        for slow in (None, 1.2, 1.7, 2.0, 3.0):
+            f = 13.0
+            pages, W = bench._size_pages(budget, 0.006, f, 30.0, slowdown=slow)
+            assert pages >= 2000
+            assert W <= 24 * f + 1e-9
