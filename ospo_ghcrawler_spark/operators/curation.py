@@ -537,13 +537,13 @@ def host_boilerplate(
     funnel applies).
 
     Plan / 100-TB posture: chunking is a zero-shuffle array projection; the
-    per-(source, chunk) document frequency is ONE shuffle with map-side
-    combine (distinct occurrences first, so a chunk repeated inside one doc
-    counts once); the df verdict returns to occurrences by a self-join on
-    the same (source, chunk) key — AQE plans it as a shuffle-reuse or
-    broadcast depending on the boilerplate set's measured size; the per-doc
-    rollup is one final AQE-coalesced aggregation. The text column is
-    scanned once.
+    exploded occurrences immediately reduce to per-(doc, source, chunk)
+    counts (ONE map-side-combined shuffle — text leaves the plan here, so
+    the text column is scanned exactly once; plan-pinned); the document
+    frequency is a count-only window over (source, chunk) on that already
+    doc-distinct set (no array materialization — a sitewide boilerplate
+    chunk costs a count over docs-containing-it rows, never a collected
+    list); the per-doc rollup is one final AQE-coalesced aggregation.
     """
     w = TXT.tokens(F.col("text"))
     starts = F.when(
@@ -556,21 +556,16 @@ def host_boilerplate(
     occ = docs.select(
         "doc_id", "source", F.explode(chunks).alias("chunk")
     )
-    df_per_chunk = (
-        occ.select("source", "chunk", "doc_id")
-        .distinct()
-        .groupBy("source", "chunk")
-        .agg(F.count("*").alias("df"))
+    occ_counts = occ.groupBy("doc_id", "source", "chunk").agg(
+        F.count("*").alias("occ_n")
     )
-    boiler = df_per_chunk.filter(F.col("df") >= min_docs).select(
-        "source", "chunk", F.lit(True).alias("is_boiler")
-    )
+    df = F.count("*").over(Window.partitionBy("source", "chunk"))
     per_doc = (
-        occ.join(boiler, ["source", "chunk"], "left")
+        occ_counts.withColumn("df", df)
         .groupBy("doc_id", "source")
         .agg(
-            F.count("*").cast("long").alias("n_chunks"),
-            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            F.sum("occ_n").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("df") >= min_docs, F.col("occ_n")).otherwise(0))
             .cast("long")
             .alias("n_boiler_chunks"),
         )

@@ -149,3 +149,37 @@ def test_bm25_no_cartesian_pruned_scan(spark):
 def test_unigram_logprob_no_cartesian(spark):
     plan = _plan(spark, "unigram_logprob")
     assert "CartesianProduct" not in plan
+
+
+def test_dust_rules_single_exchange_pruned_scan(spark):
+    """DUST mining = one window shuffle on the content key; the orders scan
+    reads only the two synthesis columns."""
+    plan = _plan(spark, "dust_rules")
+    assert plan.count("Exchange") == 1
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "o_totalprice" not in scan and "o_comment" not in scan
+
+
+def test_dust_apply_frontier_never_shuffles(spark):
+    """Rule application broadcasts the per-host flags; the frontier side
+    must not sort-merge or shuffle, and the lineitem scan stays pruned."""
+    plan = _plan(spark, "dust_apply")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    li_scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "l_orderkey" in l
+    )
+    assert "l_extendedprice" not in li_scan and "l_comment" not in li_scan
+
+
+def test_host_boilerplate_scans_text_once(spark):
+    """Per-source df via count-window over the reduced (doc, source, chunk)
+    set: the documents text column is read by exactly ONE scan."""
+    plan = _plan(spark, "host_boilerplate")
+    text_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "text" in l
+    ]
+    assert len(text_scans) == 1, text_scans
+    assert "CartesianProduct" not in plan
