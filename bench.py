@@ -652,7 +652,8 @@ def main() -> None:
     # needs, and the politeness plan shape is already test-pinned)
     polite_est = 1.4 * (w_cal * N_POLITE / hi + f_cal) + sub_ov
     build_est = 60.0
-    # sizing prefers TWO full pairs (min-of-2 per side — see _size_pages);
+    # sizing is noise-adaptive (see _size_pages): rep-first on loud hosts,
+    # W/F-headroom-first (fewer pairs, larger corpus) on quiet ones;
     # the politeness leg and query timings are best-effort from whatever
     # the pairs leave
     legs_budget = _remaining() - build_est - 60
