@@ -124,6 +124,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs (Broder 1997's second resemblance
+    measure): ``c(A in B) = |A ∩ B| / |A|``. Catches what Jaccard
+    structurally misses — a short document wholly embedded in a long one
+    (wrapper pages, quote inflation, article + comment-thread reposts) has
+    containment ≈ 1 while Jaccard ≈ |A|/|B| can sit far below any dedup
+    threshold. Emits (a_id < b_id) pairs where EITHER direction reaches
+    *threshold*, with both containments and the Jaccard for context.
+
+    Same cost shape as :func:`ngram_jaccard_pairs` (one shingle self-join —
+    the small-SF oracle form; at scale, restrict to LSH candidates exactly
+    as minhash_lsh_pairs does for Jaccard, since max-containment LSH bands
+    are a superset of the same banding)."""
+    g = _cache(shingles(docs, id_col, text_col, n))
+    sizes = g.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = g.alias("a"), g.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    c_ab = F.col("n_common") / F.col("n_a")
+    c_ba = F.col("n_common") / F.col("n_b")
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("containment_a_in_b", c_ab)
+        .withColumn("containment_b_in_a", c_ba)
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.greatest(c_ab, c_ba) >= threshold)
+        .select("a_id", "b_id", "containment_a_in_b", "containment_b_in_a", "jaccard")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -631,6 +631,35 @@ Q_NGRAM_JACCARD_SQL = f"""
 """
 
 
+CONTAIN_T = 0.5
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment pairs (Broder 1997): short-in-long
+    embeddings that Jaccard structurally misses."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_containment_pairs(docs, CONTAIN_T)
+
+
+Q_NGRAM_CONTAINMENT_SQL = f"""
+    WITH g AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+      FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           n_common / sa.n_sh AS containment_a_in_b,
+           n_common / sb.n_sh AS containment_b_in_a,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE greatest(n_common / sa.n_sh, n_common / sb.n_sh) >= {CONTAIN_T}
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard — oracle is the exact
     Jaccard pair set (LSH recall at this threshold/band count ≈ 0.9998,
@@ -2683,6 +2712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # training-data dedup / text
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_containment": q_ngram_containment,
     "minhash_lsh": q_minhash_lsh,
     "oph_minhash_lsh": q_oph_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
@@ -2772,6 +2802,7 @@ ORACLES: dict[str, str] = {
     "doc_lookup": Q_DOC_LOOKUP_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+    "ngram_containment": Q_NGRAM_CONTAINMENT_SQL,
     "minhash_lsh": Q_MINHASH_LSH_SQL,
     "oph_minhash_lsh": Q_OPH_MINHASH_LSH_SQL,
     "neardup_clusters": Q_NEARDUP_CLUSTERS_SQL,

@@ -258,3 +258,23 @@ def test_oph_entries_col_equivalent_to_text_path(spark):
     from_col = {(r.a_id, r.b_id) for r in
                 DD.oph_lsh_pairs(with_sig, 0.8, entries_col="minhash_oph").collect()}
     assert from_text == from_col
+
+
+def test_ngram_containment_catches_short_in_long(spark):
+    from ospo_ghcrawler_spark.operators.dedup_docs import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (0, short),                      # the embedded original
+        (1, filler + " " + short),       # wrapper: original + 120 extra words
+        (2, "totally unrelated text with nothing shared at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a_id, r.b_id): r for r in ngram_containment_pairs(docs, 0.9).collect()}
+    assert (0, 1) in got and len(got) == 1
+    pair = got[(0, 1)]
+    # every shingle of the short doc appears in the wrapper...
+    assert pair.containment_a_in_b == 1.0
+    # ...while Jaccard sits far below any dedup threshold
+    assert pair.jaccard < 0.1
