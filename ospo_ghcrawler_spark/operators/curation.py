@@ -428,6 +428,52 @@ def corpus_mix(docs: DataFrame) -> DataFrame:
     )
 
 
+def temperature_mix(docs: DataFrame, by: str = "lang") -> DataFrame:
+    """Temperature-based sampling weights per corpus stratum (the α-sampling
+    of multilingual-corpus construction, Conneau & Lample 2019 / XLM-R,
+    α = 0.5): raw share p_s = n_s/N is flattened to q_s ∝ p_s^α, and the
+    per-stratum sampling-rate multiplier w_s = q_s/p_s up-weights rare
+    strata and down-weights dominant ones. The mixing stage multiplies each
+    document's base sampling probability by its stratum's w_s.
+
+    α is fixed at 0.5 so the flattening is ``sqrt`` — IEEE-exactly-rounded
+    in both engines (a general ``pow`` is only ~1-ulp and would need the
+    same round-9 guard). N cancels inside q_s = sqrt(n_s)/Σ sqrt(n_m), so
+    every double here derives from integer counts through exactly-rounded
+    ops; the only reassociation-sensitive value is the O(strata)-term
+    denominator sum, absorbed by round-9.
+
+    Scale posture: one map-side-combined groupBy over the corpus; the
+    denominator is an O(strata) scalar aggregate. Zero per-document state.
+    """
+    counts = docs.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n"), F.sum(F.sqrt(F.col("n_docs"))).alias("denom")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        by,
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n"), 9).alias("raw_share9"),
+        F.round(F.sqrt(F.col("n_docs")) / F.col("denom"), 9).alias("temp_share9"),
+        F.round(
+            (F.sqrt(F.col("n_docs")) / F.col("denom"))
+            / (F.col("n_docs") / F.col("n")),
+            9,
+        ).alias("samp_weight9"),
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    s AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n, sum(sqrt(n_docs)) AS denom FROM c)
+    SELECT lang, n_docs,
+           round(n_docs / s.n, 9) AS raw_share9,
+           round(sqrt(n_docs) / s.denom, 9) AS temp_share9,
+           round((sqrt(n_docs) / s.denom) / (n_docs / s.n), 9) AS samp_weight9
+    FROM c, s
+"""
+
+
 def decontaminate_bloom(
     docs: DataFrame,
     n: int = 8,

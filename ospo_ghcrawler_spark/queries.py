@@ -1126,6 +1126,16 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.corpus_mix(docs)
 
 
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language temperature-sampling weights (α=0.5) for training-mix
+    construction: rare languages get samp_weight > 1, dominant ones < 1."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.temperature_mix(docs, by="lang")
+
+
+Q_MIX_WEIGHTS_SQL = CU.TEMPERATURE_MIX_SQL
+
+
 Q_CORPUS_MIX_SQL = """
     SELECT lang, source,
            count(*) AS n_docs,
@@ -2739,6 +2749,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "shard_pack": q_shard_pack,
     "corpus_mix": q_corpus_mix,
+    "mix_weights": q_mix_weights,
     "link_pagerank": q_link_pagerank,
     "link_hits": q_link_hits,
     "domain_graph": q_domain_graph,
@@ -2828,6 +2839,7 @@ ORACLES: dict[str, str] = {
     "unigram_logprob": Q_UNIGRAM_LOGPROB_SQL,
     "shard_pack": Q_SHARD_PACK_SQL,
     "corpus_mix": Q_CORPUS_MIX_SQL,
+    "mix_weights": Q_MIX_WEIGHTS_SQL,
     "link_pagerank": _link_pagerank_sql(),
     "link_hits": _link_hits_sql(),
     "domain_graph": _domain_graph_sql(),

@@ -161,6 +161,24 @@ def test_corpus_mix_shares_sum_to_one(spark):
     assert sum(r["total_tokens"] for r in out) == 10
 
 
+def test_temperature_mix_flattens_toward_rare_strata(spark):
+    # 9 'en' docs vs 1 'fr' doc: α=0.5 must up-weight fr (w>1), down-weight
+    # en (w<1), and both share columns must each sum to 1
+    rows = [(i, "t", "en" if i < 9 else "fr", "s", 1) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["lang"]: r for r in CU.temperature_mix(docs).collect()}
+    assert out["fr"]["samp_weight9"] > 1.0 > out["en"]["samp_weight9"]
+    assert abs(out["en"]["raw_share9"] + out["fr"]["raw_share9"] - 1.0) < 1e-8
+    assert abs(out["en"]["temp_share9"] + out["fr"]["temp_share9"] - 1.0) < 1e-8
+    # closed form: q_fr = 1/(3+1) = 0.25, p_fr = 0.1, w_fr = 2.5
+    assert abs(out["fr"]["samp_weight9"] - 2.5) < 1e-8
+    # post-weighting mass is conserved: Σ p_s · w_s = Σ q_s = 1
+    mass = sum(r["raw_share9"] * r["samp_weight9"] for r in out.values())
+    assert abs(mass - 1.0) < 1e-6
+
+
 def test_paragraph_dedup_keeps_first_occurrence_only(spark):
     # width=2 chunks: doc0 = [a b][c d], doc1 = [a b][e f], doc2 = [c d]
     docs = _docs(spark, ["a b c d", "a b e f", "c d"])
