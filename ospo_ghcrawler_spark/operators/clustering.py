@@ -236,3 +236,93 @@ def cluster_sample_sql(
       FROM ({kmeans_sql(k=k, iterations=iterations, dim=dim)}) a
     ) WHERE rk <= {cap}
     """
+
+
+SEMDEDUP_EPS = 0.4
+
+
+def semdedup(
+    embs: DataFrame,
+    eps: float = SEMDEDUP_EPS,
+    k: int = K_DEFAULT,
+    iterations: int = ITER_DEFAULT,
+    dim: int = DIM_DEFAULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup = k-means cluster the
+    embeddings, then prune near-duplicates INSIDE each cluster only. A point
+    is dropped when any lower-id point in its cluster has cosine ≥ *eps* —
+    the released implementation's upper-triangular rule (point i's max
+    similarity over j < i decides i alone; whether j itself survives is not
+    re-checked), which this reproduces with keep-lowest-id order.
+
+    Why this shape at 100 TB: all-pairs cosine over the corpus is O(N²);
+    SemDeDup's insight is that near-duplicates land in the same k-means
+    cell, so the pair join is restricted to cluster_id — with k grown ∝ N
+    (the paper uses k in the tens of thousands) the expected cell size is
+    constant and the join is linear-ish. Here: one cluster_id shuffle for
+    the self-join, cosine verify as JVM fold arithmetic on candidates only,
+    assignment itself the O(k·dim)-driver-state Lloyd above.
+
+    Returns every input id with its cluster and a ``kept`` verdict (the
+    curation stage filters ``kept`` and keeps lineage for the funnel
+    report).
+    """
+    a = kmeans_assign(embs, k=k, iterations=iterations, dim=dim, id_col=id_col, vec_col=vec_col)
+    v = embs.select(id_col, vec_col).join(a, id_col)
+    left = v.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+    )
+    right = v.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+    )
+    from ospo_ghcrawler_spark.operators.similarity import cosine
+
+    drops = (
+        left.join(right, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("a_vec"), F.col("b_vec")) >= eps)
+        .select(F.col("b_id").alias("_drop_id"))
+        .distinct()
+    )
+    return v.join(
+        drops, v[id_col] == drops["_drop_id"], "left"
+    ).select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("_drop_id").isNull().alias("kept"),
+    )
+
+
+def semdedup_sql(
+    eps: float = SEMDEDUP_EPS,
+    k: int = K_DEFAULT,
+    iterations: int = ITER_DEFAULT,
+    dim: int = DIM_DEFAULT,
+) -> str:
+    """kmeans_sql as a derived table + intra-cluster cosine pairs + the
+    keep-lowest-id anti-join, all in ANSI SQL."""
+    cos = (
+        "list_dot_product(a.vec, b.vec) / "
+        "(sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT a.vec_id, a.cluster_id, e.embedding::DOUBLE[] AS vec
+      FROM ({kmeans_sql(k=k, iterations=iterations, dim=dim)}) a
+      JOIN embeddings e USING (vec_id)
+    ),
+    d AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {cos} >= {eps}
+    )
+    SELECT v.vec_id, v.cluster_id, d.vec_id IS NULL AS kept
+    FROM v LEFT JOIN d ON v.vec_id = d.vec_id
+    """

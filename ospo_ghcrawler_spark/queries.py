@@ -1575,6 +1575,21 @@ def _cluster_sample_sql() -> str:
     return KM.cluster_sample_sql()
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/clustering.py): k-means cluster, then drop any
+    vector whose cluster holds a lower-id vector at cosine ≥ eps — semantic
+    near-dup pruning whose pair join never leaves a cluster cell."""
+    from ospo_ghcrawler_spark.operators import clustering as KM
+
+    return KM.semdedup(_t(spark, sf_dir, "embeddings"))
+
+
+def _semdedup_sql() -> str:
+    from ospo_ghcrawler_spark.operators import clustering as KM
+
+    return KM.semdedup_sql()
+
+
 def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point HITS hubs/authorities over the synthetic link
     graph (operators/graph.py:hits_fixed_point) — the hub side ranks
@@ -2782,6 +2797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # clustering
     "kmeans_clusters": q_kmeans_clusters,
     "cluster_sample": q_cluster_sample,
+    "semdedup": q_semdedup,
     "link_components": q_link_components,
     # similarity
     "embedding_topk": q_embedding_topk,
@@ -2867,6 +2883,7 @@ ORACLES: dict[str, str] = {
     "snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
     "kmeans_clusters": _kmeans_sql(),
     "cluster_sample": _cluster_sample_sql(),
+    "semdedup": _semdedup_sql(),
     "link_components": _link_components_sql(),
     "embedding_topk": Q_EMBEDDING_TOPK_SQL,
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,

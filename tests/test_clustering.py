@@ -111,3 +111,37 @@ def test_cluster_sample_cap_and_determinism(spark, embs):
     assert sorted((r["vec_id"], r["cluster_id"], r["rk"]) for r in out) == sorted(
         (r["vec_id"], r["cluster_id"], r["rk"]) for r in out2
     )
+
+
+def test_semdedup_prunes_within_cluster_only(spark):
+    # two well-separated lobes in 4-dim; plant an exact duplicate inside
+    # lobe A and a cross-lobe pair that is similar ONLY if clusters were
+    # ignored (identical direction but assigned to different lobes is
+    # impossible with separated lobes, so instead verify: the lobe-B
+    # near-dup of a lobe-A vector is NOT dropped by the lobe-A duplicate
+    # rule — cluster restriction is load-bearing)
+    rows = [
+        (0, [5.0, 0.0, 0.1, 0.0]),   # lobe A anchor
+        (1, [5.0, 0.0, 0.1, 0.0]),   # exact dup of 0 -> dropped
+        (2, [4.9, 0.0, -0.2, 0.1]),  # lobe A, similar to 0 -> dropped at eps=0.9
+        (3, [0.0, 5.0, 0.1, 0.0]),   # lobe B anchor (kept)
+        (4, [0.1, 4.8, 0.0, 0.2]),   # lobe B, similar to 3 -> dropped
+        (5, [0.0, 0.1, 5.0, 1.0]),   # singleton direction (kept)
+    ]
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in KM.semdedup(embs, eps=0.9, k=3, iterations=2, dim=4).collect()}
+    assert out[0]["kept"] and out[3]["kept"] and out[5]["kept"]
+    assert not out[1]["kept"] and not out[2]["kept"] and not out[4]["kept"]
+    # same-cluster membership is what drove every drop
+    for victim, keeper in ((1, 0), (2, 0), (4, 3)):
+        assert out[victim]["cluster_id"] == out[keeper]["cluster_id"]
+
+
+def test_semdedup_parallelism_invariant(spark, embs):
+    a = KM.semdedup(embs, eps=0.98, k=3, iterations=2, dim=8).collect()
+    b = KM.semdedup(embs.repartition(11), eps=0.98, k=3, iterations=2, dim=8).collect()
+    key = lambda rs: sorted((r["vec_id"], r["cluster_id"], r["kept"]) for r in rs)
+    assert key(a) == key(b)
