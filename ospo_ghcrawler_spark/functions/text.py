@@ -309,3 +309,65 @@ def minhash_oph_entries(text: Column, buckets: int = 64, k: int = 3) -> Column:
         return F.element_at(F.transform(F.array(entries), _first_per_bin), 1)
 
     return F.element_at(F.transform(F.array(toks), _sig), 1)
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier (fastText-style inference shape)
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 1 << 16  # feature-hash space (fastText -bucket analog)
+_CLF_MULT = 2654435761  # Knuth multiplicative-hash constant
+_CLF_MOD = 104729  # prime: bucket -> pseudo-weight in [0, _CLF_MOD)
+
+
+def _clf_weight_ints(text: Column, buckets: int = CLF_BUCKETS) -> Column:
+    """Per-token INTEGER weights for the hashed linear model: token →
+    md5-derived bucket (first 48 bits, cross-engine exact) → deterministic
+    pseudo-weight m ∈ [0, _CLF_MOD). Integers end-to-end so the per-doc sum
+    is exact under any partitioning / fold order; the float mapping
+    m/_CLF_MOD - 0.5 happens once per DOC, not per token.
+
+    The weights here are a deterministic stand-in for a trained model
+    (quality classifiers à la fastText — Joulin et al. 2016 — as used for
+    corpus filtering in CCNet/DCLM-style pipelines; no trained weights can
+    exist in this sandbox). The INFERENCE plumbing is the real thing:
+    tokenize → hash to buckets → weight lookup → mean, all JVM array
+    expressions riding the corpus scan with zero shuffle. Swapping in real
+    weights = replacing the arithmetic with a broadcast bucket→weight map
+    (Zipf-bounded, ≪ corpus) — the plan shape is unchanged.
+    """
+    return F.transform(
+        tokens(F.lower(text)),
+        lambda t: (
+            (F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint") % buckets)
+            * _CLF_MULT
+            + 101
+        )
+        % _CLF_MOD,
+    )
+
+
+def classifier_score(text: Column, buckets: int = CLF_BUCKETS) -> Column:
+    """Mean hashed-feature weight, centered to [-0.5, 0.5): the linear
+    model's document score. NULL for token-less documents. Every double
+    derives from exact integers through exactly-rounded ops, so the value
+    is bit-identical across engines and partitionings (round-9 is worn as
+    a belt, not load-bearing)."""
+    ms = _clf_weight_ints(text, buckets)
+    n = F.size(ms)
+    total = F.aggregate(ms, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return F.when(
+        n > 0, F.round((total / n) / F.lit(float(_CLF_MOD)) - 0.5, 9)
+    )
+
+
+def classifier_sql_expr(buckets: int = CLF_BUCKETS) -> str:
+    """The identical model in DuckDB SQL (md5-hex → 48-bit int bucket)."""
+    m = (
+        f"(CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % {buckets}"
+        f" * {_CLF_MULT} + 101) % {_CLF_MOD}"
+    )
+    return (
+        "list_transform(regexp_extract_all(lower(text), '[A-Za-z0-9]+'), "
+        f"tok -> {m})"
+    )

@@ -768,6 +768,37 @@ Q_LANG_ID_SQL = f"""
 """
 
 
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (fastText inference shape,
+    deterministic stand-in weights): per-doc centered mean weight + the
+    keep verdict a model-based filter stage would apply. Zero shuffle —
+    tokenize/hash/fold are JVM array expressions riding the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    score = TXT.classifier_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(TXT.tokens(F.lower(F.col("text")))).alias("n_terms"),
+        score.alias("score9"),
+        F.coalesce(score > 0, F.lit(False)).alias("keep"),
+    )
+
+
+Q_CLASSIFIER_SCORE_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {TXT.classifier_sql_expr()} AS ms FROM documents
+    )
+    SELECT doc_id,
+           len(ms) AS n_terms,
+           CASE WHEN len(ms) > 0
+                THEN round((CAST(list_sum(ms) AS DOUBLE) / len(ms)) / 104729 - 0.5, 9)
+           END AS score9,
+           COALESCE(CASE WHEN len(ms) > 0
+                THEN round((CAST(list_sum(ms) AS DOUBLE) / len(ms)) / 104729 - 0.5, 9)
+           END > 0, FALSE) AS keep
+    FROM t
+"""
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-dup pairs: every doc labeled with the
     min doc_id of its component (keep iff cluster_rep == doc_id). Spark side
@@ -2745,6 +2776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
+    "classifier_score": q_classifier_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -2836,6 +2868,7 @@ ORACLES: dict[str, str] = {
     "clean_corpus": Q_CLEAN_CORPUS_SQL,
     "token_stats": Q_TOKEN_STATS_SQL,
     "quality_score": Q_QUALITY_SCORE_SQL,
+    "classifier_score": Q_CLASSIFIER_SCORE_SQL,
     "lang_id": Q_LANG_ID_SQL,
     "fingerprint": Q_FINGERPRINT_SQL,
     "winnow_fingerprint": Q_WINNOW_FINGERPRINT_SQL,

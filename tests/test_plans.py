@@ -183,3 +183,18 @@ def test_host_boilerplate_scans_text_once(spark):
     ]
     assert len(text_scans) == 1, text_scans
     assert "CartesianProduct" not in plan
+
+
+def test_classifier_score_zero_exchange_jvm_only(spark):
+    """Hashed linear classifier = pure projection: no shuffle, no Python."""
+    plan = _plan(spark, "classifier_score")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_weights_single_corpus_exchange(spark):
+    """Temperature mix: one map-side-combined groupBy over the corpus; the
+    O(strata) scalar agg and its broadcast add no corpus-sized exchange."""
+    plan = _plan(spark, "mix_weights")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan

@@ -109,3 +109,22 @@ def test_token_rarity_broadcasts_vocab(spark):
     plan = _plan(Q.QUERIES["token_rarity"](spark, SF))
     assert "BroadcastHashJoin" in plan, "vocab rejoin must broadcast"
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_classifier_score_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from ospo_ghcrawler_spark.functions import text as TXT
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, ""), (2, "!!! ..."), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id", TXT.classifier_score(F.col("text")).alias("s")
+    ).collect()}
+    # token-less docs score NULL; identical text scores identically;
+    # scores live in the centered band
+    assert out[1]["s"] is None and out[2]["s"] is None
+    assert out[0]["s"] == out[3]["s"]
+    assert -0.5 <= out[0]["s"] < 0.5
