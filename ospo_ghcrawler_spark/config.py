@@ -100,6 +100,22 @@ class CrawlConfig:
         default_factory=lambda: {"self": 0, "shallow": 2}
     )
 
+    # --- link-score frontier prioritization (beyond-reference) --------------
+    # "none" | "backlinks" | "pagerank": order selection WITHIN a priority
+    # level by a host-level link-centrality score mined from the harvested
+    # link graph (the production crawler's frontier-ranking signal; the
+    # reference ranks by queue tier only). Scores are integers (counts /
+    # fixed-point PageRank), so selection stays bit-deterministic and
+    # parallelism-invariant; FIFO order breaks score ties.
+    host_score_source: str = "none"
+    # scores refresh at superstep boundaries b ≡ 0 (mod k) from pages with
+    # superstep < b — a pure function of the COMMITTED harvest, so an
+    # interrupted run resumes with the identical scores (no extra lineage)
+    host_score_refresh_every: int = 2
+    # fixed-point PageRank iterations (host graph ≪ url graph, so a handful
+    # of iterations is one small-join round-trip each)
+    host_score_iterations: int = 2
+
     # --- seen-set / dedup ---------------------------------------------------
     # bloom shards (by url_hash range) and bits per shard; sized so the same
     # code path scales to 10^10 urls by raising shard count, not shard size

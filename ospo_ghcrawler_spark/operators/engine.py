@@ -163,6 +163,12 @@ class Crawler:
             else None
         )
         self._live_cfg_mtime: float | None = None
+        # link-score frontier prioritization (cfg.host_score_source): the
+        # (host, host_score) dim recomputed at refresh boundaries from the
+        # committed pages table — derived state, so resume needs no extra
+        # lineage (see _compute_host_scores)
+        self._host_scores: DataFrame | None = None
+        self._host_scores_boundary = 0
         self._bloom_bc = None  # per-superstep broadcast of the bloom bitmaps
         # superstep pipelining state: one background commit in flight at most
         self._commit_pool = ThreadPoolExecutor(max_workers=1)
@@ -354,6 +360,48 @@ class Crawler:
         rows = updated.collect()
         self.tokens_dim = self.spark.createDataFrame(rows, updated.schema)
 
+    def _compute_host_scores(self, boundary: int) -> DataFrame:
+        """(host, host_score) from the link graph harvested BEFORE
+        *boundary* — integer scores only (backlink counts or fixed-point
+        PageRank, operators/graph.py), so score-ranked selection stays
+        bit-deterministic across partitionings AND across interrupt/resume
+        (the boundary filter makes the dim a pure function of committed
+        snapshots, never of in-flight work).
+
+        Cost: one columnar pages scan pruned to (host, links, status,
+        superstep) per refresh — html/text never read. At a 10^10-url
+        history, swap the rescan for additive per-superstep backlink deltas
+        folded into the dim (counts are additive; PageRank periodic); the
+        join side stays O(hosts), always broadcastable.
+        """
+        pages = self.catalog.table("pages").read()
+        ok = pages.filter(
+            (F.col("status") == 200) & (F.col("superstep") < boundary)
+        ).select("host", "links")
+        edges = (
+            ok.select(F.col("host").alias("src"), F.explode("links").alias("_u"))
+            .select("src", host_col(F.col("_u")).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        if self.cfg.host_score_source == "pagerank":
+            from ospo_ghcrawler_spark.operators.graph import pagerank_fixed_point
+
+            hosts = (
+                edges.select(F.col("src").alias("doc_id"))
+                .unionByName(edges.select(F.col("dst").alias("doc_id")))
+                .distinct()
+            )
+            scores = pagerank_fixed_point(
+                hosts, edges, iterations=self.cfg.host_score_iterations
+            ).select(F.col("doc_id").alias("host"), F.col("rank_fp").alias("host_score"))
+        else:  # "backlinks": additive in-link counts, the cheap signal
+            scores = edges.groupBy(F.col("dst").alias("host")).agg(
+                F.count(F.lit(1)).alias("host_score")
+            )
+        # O(hosts) rows: checkpoint eagerly so every superstep's selection
+        # broadcasts a materialized dim instead of re-running the scan
+        return scores.localCheckpoint(eager=True)
+
     def _desired_traits_col(self):
         """Per-row desired trait sets from the request's policy
         (cfg.policy_trait_sets; the reference attaches desired trait sets per
@@ -491,6 +539,23 @@ class Crawler:
                 )
                 .drop("bench_until")
             )
+        # ---- link-score prioritization (beyond-reference frontier ranking) --
+        # A host-level centrality score joins the frontier as the leading
+        # within-priority order key (selection.py pick_order). Refreshed at
+        # boundaries b ≡ 0 (mod k) from pages with superstep < b: a pure
+        # function of the committed harvest, so an interrupted run resumes
+        # with bit-identical scores and the golden resume-equality property
+        # survives with scoring ON.
+        if cfg.host_score_source != "none":
+            k_refresh = max(1, cfg.host_score_refresh_every)
+            boundary = step - (step % k_refresh)
+            if boundary > 0 and self._host_scores_boundary != boundary:
+                self._host_scores = self._compute_host_scores(boundary)
+                self._host_scores_boundary = boundary
+            if self._host_scores is not None:
+                eligible_frontier = eligible_frontier.join(
+                    F.broadcast(self._host_scores), "host", "left"
+                ).withColumn("host_score", F.coalesce("host_score", F.lit(0)))
         selected, n_selected, max_wake, total_eligible = select_batch(
             eligible_frontier, self.host_budgets, cfg, step, min_host_budget=self._min_budget
         )

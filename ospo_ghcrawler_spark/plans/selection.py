@@ -106,6 +106,17 @@ def select_batch(
         static = static.filter(F.col("host").isin(*cfg.allowed_hosts))
     eligible = static.filter(F.col("not_before_step") <= step)
 
+    # link-score prioritization (cfg.host_score_source): when the engine
+    # joined a host_score column, it becomes the leading order key WITHIN a
+    # priority level — FIFO breaks ties, so the plan stays a pure function
+    # of (frontier, step). Constant per host, so the politeness window's
+    # per-host ordering is untouched.
+    has_score = "host_score" in frontier.columns
+    fifo_keys = ["enqueue_step", "seq", "url_hash"]
+    pick_order = ([F.desc("host_score")] if has_score else []) + [
+        F.col(c) for c in fifo_keys
+    ]
+
     budget_unbound = min_host_budget is not None and min_host_budget >= cfg.batch_size
     max_wake: int | None = None
     total_eligible: int | None = None
@@ -150,7 +161,7 @@ def select_batch(
             budgeted.filter(F.col("priority") == p)
             if q >= avail.get(p, 0)
             else budgeted.filter(F.col("priority") == p)
-            .orderBy("enqueue_step", "seq", "url_hash")
+            .orderBy(*pick_order)
             .limit(q)
         )
         for p, q in quotas.items()
@@ -158,11 +169,13 @@ def select_batch(
     ]
     n = sum(min(q, avail.get(p, 0)) for p, q in quotas.items() if avail.get(p, 0) > 0)
     if not picks:
-        empty = budgeted.filter(F.lit(False)).drop("_host_rank")
+        empty = budgeted.filter(F.lit(False)).drop("_host_rank", "host_score")
         if not budget_unbound:
             budgeted.unpersist()
         return empty.withColumn("fetch_salt", F.lit(0)), 0, max_wake, total_eligible
-    selected = reduce(lambda a, b: a.unionByName(b), picks).drop("_host_rank")
+    selected = reduce(lambda a, b: a.unionByName(b), picks).drop(
+        "_host_rank", "host_score"
+    )
 
     # hot-host salting: spread mega-hosts across all fetch partitions.
     # A lazy join (no collect): the hot-host dim builds as a broadcast
