@@ -428,6 +428,143 @@ def corpus_mix(docs: DataFrame) -> DataFrame:
     )
 
 
+BADWORDS: tuple[str, ...] = ("slow", "junk")
+"""Stand-in blocklist. The production list (e.g. the public C4 blocklist)
+is a drop-in replacement — the operator takes the list as a parameter and
+the plan shape (zero-shuffle array filter) is independent of its size up
+to the literal-array limit; beyond that, a broadcast semi-join on the
+exploded token column is the same filter with one extra broadcast."""
+
+
+def badwords_filter(
+    docs: DataFrame, words: tuple[str, ...] = BADWORDS
+) -> DataFrame:
+    """C4-style blocklist filter (Raffel et al. 2020 dropped any page with
+    a blocklisted word): per doc, the count of blocklisted token
+    OCCURRENCES and the keep verdict (zero occurrences). Token-granular —
+    substring false-positives ('classic' vs 'ass') are avoided by matching
+    whole word tokens, the documented C4 behavior.
+
+    Zero shuffle: tokenize + array filter ride the corpus scan.
+    """
+    lst = F.array(*[F.lit(w) for w in words])
+    toks = TXT.tokens(F.lower(F.col("text")))
+    n_bad = F.size(F.filter(toks, lambda t: F.array_contains(lst, t)))
+    return docs.select(
+        "doc_id",
+        n_bad.cast("long").alias("n_bad_tokens"),
+        (n_bad == 0).alias("keep"),
+    )
+
+
+def badwords_sql(words: tuple[str, ...] = BADWORDS) -> str:
+    lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                t -> list_contains({lit}, t))) AS BIGINT)
+             AS n_bad_tokens,
+           len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           t -> list_contains({lit}, t))) = 0 AS keep
+    FROM documents
+    """
+
+
+def doc_repetition(docs: DataFrame, n_top: int = 2, n_dup: int = 3) -> DataFrame:
+    """Within-document repetition signals (Gopher repetition rules, Rae et
+    al. 2021, token-granular re-expression): the token fraction claimed by
+    the document's most frequent *n_top*-gram, and the token fraction in
+    duplicate (beyond-first) occurrences of *n_dup*-grams. High values mark
+    degenerate/boilerplate pages that length/stopword heuristics miss.
+
+    Token fractions instead of Gopher's character fractions: the integer
+    token arithmetic is exact under any partitioning (char fractions would
+    be too, but tokens already ride the shared gram machinery). Overlapping
+    occurrences each count, so a fully degenerate doc ("p p p p") can score
+    above 1 — the signal is a repetition SCORE thresholded upward, not a
+    coverage fraction. One shuffle — the per-(doc, gram) count groupBy
+    (map-side combine); both signals aggregate from the same gram pass;
+    fractions are integer-derived.
+    """
+    toks = TXT.tokens(F.lower(F.col("text")))
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_toks")
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        g = base.filter(F.col("n_toks") >= n).select(
+            "doc_id",
+            "n_toks",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_toks") - n + 1),
+                    lambda i: F.array_join(F.slice("toks", i, n), " "),
+                )
+            ).alias("gram"),
+        )
+        return g.groupBy("doc_id", "n_toks", "gram").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    top = gram_counts(n_top).groupBy("doc_id").agg(
+        F.round(F.max("c") * n_top / F.max("n_toks"), 9).alias("top_gram_frac9")
+    )
+    dup = gram_counts(n_dup).groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.greatest(F.col("c") - 1, F.lit(0))) * n_dup / F.max("n_toks"), 9
+        ).alias("dup_gram_frac9")
+    )
+    return (
+        base.select("doc_id")
+        .join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_gram_frac9", F.lit(0.0)).alias("top_gram_frac9"),
+            F.coalesce("dup_gram_frac9", F.lit(0.0)).alias("dup_gram_frac9"),
+        )
+    )
+
+
+def doc_repetition_sql(n_top: int = 2, n_dup: int = 3) -> str:
+    def grams(n: int) -> str:
+        return f"""
+      SELECT doc_id, n_toks, array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_toks
+            FROM documents),
+           UNNEST(range(1, n_toks - {n} + 2)) AS u(i)
+      WHERE n_toks >= {n}
+        """
+
+    return f"""
+    WITH t{n_top} AS (
+      SELECT doc_id, n_toks, gram, count(*) AS c
+      FROM ({grams(n_top)}) GROUP BY 1, 2, 3
+    ),
+    t{n_dup}d AS (
+      SELECT doc_id, n_toks, gram, count(*) AS c
+      FROM ({grams(n_dup)}) GROUP BY 1, 2, 3
+    ),
+    top AS (
+      SELECT doc_id, round(max(c) * {n_top} / max(n_toks), 9) AS top_gram_frac9
+      FROM t{n_top} GROUP BY 1
+    ),
+    dup AS (
+      SELECT doc_id,
+             round(sum(greatest(c - 1, 0)) * {n_dup} / max(n_toks), 9)
+               AS dup_gram_frac9
+      FROM t{n_dup}d GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(top.top_gram_frac9, 0.0) AS top_gram_frac9,
+           COALESCE(dup.dup_gram_frac9, 0.0) AS dup_gram_frac9
+    FROM documents d
+    LEFT JOIN top ON d.doc_id = top.doc_id
+    LEFT JOIN dup ON d.doc_id = dup.doc_id
+    """
+
+
 def temperature_mix(docs: DataFrame, by: str = "lang") -> DataFrame:
     """Temperature-based sampling weights per corpus stratum (the α-sampling
     of multilingual-corpus construction, Conneau & Lample 2019 / XLM-R,

@@ -166,3 +166,67 @@ def unigram_logprob(
         )
     )
     return per_doc
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail quality split (Wenzek et al. 2020): rank each
+    document by its LM score WITHIN its language and cut into terciles —
+    head = best-scoring third (highest mean logprob / lowest perplexity),
+    tail = worst. CCNet keeps head+middle for pretraining; the bucket label
+    is the knob.
+
+    Self-scored unigram LM (:func:`unigram_logprob`) stands in for CCNet's
+    KenLM — same thresholding machinery, no external model. Deterministic:
+    the tercile window orders by (rounded score, id). Shuffle account: the
+    LM's term shuffle + ONE per-lang window shuffle; token-less documents
+    (no defined score) are excluded like CCNet's empty pages.
+    """
+    scored = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    lang = docs.select(id_col, lang_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("avg_logprob"), F.col(id_col)
+    )
+    t = F.ntile(3).over(w)
+    return (
+        scored.join(lang, id_col)
+        .select(
+            id_col,
+            lang_col,
+            "avg_logprob",
+            t.alias("tercile"),
+        )
+        .withColumn(
+            "bucket",
+            F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("tercile")),
+        )
+    )
+
+
+CCNET_BUCKETS_SQL = """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(sum(cf) AS BIGINT) AS total_tokens FROM cf),
+    scored AS (
+      SELECT doc_id, round(sum(tf * ln(CAST(cf AS DOUBLE) / total_tokens)) / sum(tf), 6)
+               AS avg_logprob
+      FROM tf JOIN cf USING (term), tot
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, d.lang, s.avg_logprob,
+           ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_logprob DESC, s.doc_id)
+             AS tercile,
+           (['head', 'middle', 'tail'])[
+             ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_logprob DESC, s.doc_id)
+           ] AS bucket
+    FROM scored s JOIN documents d USING (doc_id)
+"""

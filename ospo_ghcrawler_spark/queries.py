@@ -768,6 +768,34 @@ Q_LANG_ID_SQL = f"""
 """
 
 
+def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter: token-granular badword occurrence count +
+    keep verdict, zero shuffle (stand-in blocklist; the real C4 list is a
+    parameter drop-in)."""
+    return CU.badwords_filter(_t(spark, sf_dir, "documents"))
+
+
+Q_BADWORDS_FILTER_SQL = CU.badwords_sql()
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals per doc: top 2-gram token fraction +
+    duplicate 3-gram token fraction, one shared gram shuffle."""
+    return CU.doc_repetition(_t(spark, sf_dir, "documents"))
+
+
+Q_DOC_REPETITION_SQL = CU.doc_repetition_sql()
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail per-language perplexity terciles over the
+    self-scored unigram LM."""
+    return SR.ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+Q_CCNET_BUCKETS_SQL = SR.CCNET_BUCKETS_SQL
+
+
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear quality classifier (fastText inference shape,
     deterministic stand-in weights): per-doc centered mean weight + the
@@ -919,6 +947,42 @@ Q_SAMPLE_STRATIFIED_SQL = f"""
              ) AS rk
       FROM documents
     ) WHERE rk <= {SAMPLE_CAP}
+"""
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10): the id hashes to
+    a stable bucket, so the split is reproducible at any parallelism, on
+    any engine, and STABLE UNDER CORPUS GROWTH — a doc's split never
+    changes when neighbors are added/removed (the property random shuffles
+    lack and training pipelines need for incremental corpus refreshes).
+    Zero shuffle: pure projection riding the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    return docs.select(
+        "doc_id",
+        b.alias("bucket10"),
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
+    )
+
+
+Q_TRAIN_SPLIT_SQL = """
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                % 10 AS INTEGER) AS bucket10,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 10 < 8
+                  THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 10 = 8
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
 """
 
 
@@ -2777,11 +2841,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "classifier_score": q_classifier_score,
+    "badwords_filter": q_badwords_filter,
+    "doc_repetition": q_doc_repetition,
+    "ccnet_buckets": q_ccnet_buckets,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
     "winnow_fingerprint_fast": q_winnow_fingerprint_fast,
     "sample_stratified": q_sample_stratified,
+    "train_split": q_train_split,
     # corpus curation
     "repeated_ngrams": q_repeated_ngrams,
     "repeated_ngram_scrub": q_repeated_ngram_scrub,
@@ -2869,10 +2937,14 @@ ORACLES: dict[str, str] = {
     "token_stats": Q_TOKEN_STATS_SQL,
     "quality_score": Q_QUALITY_SCORE_SQL,
     "classifier_score": Q_CLASSIFIER_SCORE_SQL,
+    "badwords_filter": Q_BADWORDS_FILTER_SQL,
+    "doc_repetition": Q_DOC_REPETITION_SQL,
+    "ccnet_buckets": Q_CCNET_BUCKETS_SQL,
     "lang_id": Q_LANG_ID_SQL,
     "fingerprint": Q_FINGERPRINT_SQL,
     "winnow_fingerprint": Q_WINNOW_FINGERPRINT_SQL,
     "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
+    "train_split": Q_TRAIN_SPLIT_SQL,
     "repeated_ngrams": Q_REPEATED_NGRAMS_SQL,
     "repeated_ngram_scrub": Q_REPEATED_NGRAM_SCRUB_SQL,
     "paragraph_dedup": CU.paragraph_dedup_sql(width=3),

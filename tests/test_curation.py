@@ -290,3 +290,37 @@ def test_host_boilerplate_planted(spark):
     )
     got2 = {r.doc_id: r for r in CU.host_boilerplate(docs2, width=3, min_docs=2).collect()}
     assert got2[0].is_mostly_boiler and got2[1].is_mostly_boiler
+
+
+def test_badwords_filter_token_granular(spark):
+    docs = spark.createDataFrame(
+        [(0, "a slow day"), (1, "slowly is not blocked"), (2, "junk slow junk"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CU.badwords_filter(docs).collect()}
+    assert out[0]["n_bad_tokens"] == 1 and not out[0]["keep"]
+    # substring must NOT match: 'slowly' is a different token
+    assert out[1]["n_bad_tokens"] == 0 and out[1]["keep"]
+    assert out[2]["n_bad_tokens"] == 3 and not out[2]["keep"]
+    assert out[3]["n_bad_tokens"] == 0 and out[3]["keep"]
+
+
+def test_doc_repetition_hand_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),        # top 2-gram "a b" x3 of 5 grams, 6 toks
+            (1, "x y z w q r"),        # no repetition
+            (2, "p p p p"),            # "p p" x3; dup 3-gram "p p p" x(2-1)
+            (3, "a"),                  # shorter than both gram sizes
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CU.doc_repetition(docs).collect()}
+    assert abs(out[0]["top_gram_frac9"] - 3 * 2 / 6) < 1e-9
+    # "a b a" x2 and "b a b" x2 -> sum(c-1) = 2 duplicate occurrences
+    assert abs(out[0]["dup_gram_frac9"] - 2 * 3 / 6) < 1e-9
+    assert abs(out[1]["top_gram_frac9"] - 1 * 2 / 6) < 1e-9
+    assert out[1]["dup_gram_frac9"] == 0.0
+    assert abs(out[2]["top_gram_frac9"] - 3 * 2 / 4) < 1e-9
+    assert abs(out[2]["dup_gram_frac9"] - 1 * 3 / 4) < 1e-9
+    assert out[3]["top_gram_frac9"] == 0.0 and out[3]["dup_gram_frac9"] == 0.0

@@ -78,3 +78,20 @@ def test_unigram_logprob_closed_form(spark):
     )
     got2 = {r.doc_id: r for r in SR.unigram_logprob(doubled).collect()}
     assert got2[1].avg_logprob == got2[11].avg_logprob == pytest.approx(want1, abs=2e-6)
+
+
+def test_ccnet_buckets_tercile_split(spark):
+    from ospo_ghcrawler_spark.operators import search as SR
+
+    # 9 docs, one lang: terciles must be 3/3/3 and ordered by score
+    rows = [(i, ("common " * (i + 1)).strip() + " rare" + str(i), "en") for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = SR.ccnet_buckets(docs).collect()
+    from collections import Counter
+
+    c = Counter(r["bucket"] for r in out)
+    assert c == {"head": 3, "middle": 3, "tail": 3}
+    # every head doc scores >= every tail doc
+    head_min = min(r["avg_logprob"] for r in out if r["bucket"] == "head")
+    tail_max = max(r["avg_logprob"] for r in out if r["bucket"] == "tail")
+    assert head_min >= tail_max
