@@ -60,6 +60,13 @@ class CrawlConfig:
     # strict priority preemption: if True, quota leftover spills to the next
     # priority level (reference QueueSet pops best-effort in weight order)
     spill_quota: bool = True
+    # starvation-free priority aging (beyond-reference; classic frontier
+    # schedulers' budget rotation): every k supersteps a request waits, it is
+    # promoted one CONFIGURED tier (one index in sorted(weights)) for
+    # selection purposes only — the stored priority is untouched. 0 = off
+    # (reference-faithful: a weight-0 tier is never popped,
+    # crawlerFactory.js:80 pops strictly by QueueSet weight).
+    priority_age_every: int = 0
 
     # --- politeness / budgets ---------------------------------------------
     # per-host compute budget in simulated latency ms per window; analog of

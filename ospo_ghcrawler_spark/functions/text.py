@@ -371,3 +371,35 @@ def classifier_sql_expr(buckets: int = CLF_BUCKETS) -> str:
         "list_transform(regexp_extract_all(lower(text), '[A-Za-z0-9]+'), "
         f"tok -> {m})"
     )
+
+
+# --- unicode script mix (writing-system detection) ---------------------------
+# Script-granular character counts: the signal language-ID n-grams can't give
+# (a page mixing Latin boilerplate with CJK body text, transliteration spam,
+# wrong-script injection). Java regex script properties (\p{IsX}) on the
+# Spark side; the DuckDB oracle uses the RE2 spellings (\p{X}) of the SAME
+# Unicode script properties, so counts agree exactly.
+SCRIPTS: tuple[str, ...] = ("Latin", "Cyrillic", "Greek", "Arabic", "Han")
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script character counts + digits + total chars, all zero-shuffle
+    JVM regexp_count projections riding the scan."""
+    out = {
+        f"n_{s.lower()}": F.regexp_count(text, F.lit(rf"\p{{Is{s}}}")) for s in SCRIPTS
+    }
+    out["n_digit"] = F.regexp_count(text, F.lit("[0-9]"))
+    out["n_chars"] = F.length(text)
+    return out
+
+
+def main_script(text: Column) -> Column:
+    """Dominant script label: the first script in SCRIPTS order whose count
+    equals the max count ('none' when every count is zero) — the exact tie
+    rule the oracle SQL restates as an identical CASE chain."""
+    counts = [F.regexp_count(text, F.lit(rf"\p{{Is{s}}}")) for s in SCRIPTS]
+    mx = F.greatest(*counts)
+    expr = F.when(mx == 0, F.lit("none"))
+    for s, c in zip(SCRIPTS, counts):
+        expr = expr.when(c == mx, F.lit(s.lower()))
+    return expr.otherwise(F.lit("none"))

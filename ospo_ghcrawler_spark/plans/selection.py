@@ -101,6 +101,30 @@ def select_batch(
     pure fixed overhead on both legs of the N→4N scaling bench).
     ``total_eligible`` is None on the windowed path.
     """
+    # starvation-free priority aging (cfg.priority_age_every > 0): a request
+    # waiting w supersteps is promoted floor(w / k) CONFIGURED tiers for
+    # this selection only — `_orig_priority` restores the stored value on
+    # the way out, so requeue/lineage never see the promotion. A pure JVM
+    # expression of (priority, enqueue_step, step): selection stays a pure
+    # function of (frontier, step), so determinism/resume properties hold.
+    aged = cfg.priority_age_every > 0
+    if aged:
+        tiers = sorted(cfg.weights)
+        arr = F.array(*[F.lit(t) for t in tiers])
+        idx_col = None
+        for i, t in enumerate(tiers):
+            c = F.when(F.col("priority") == t, F.lit(i))
+            idx_col = c if idx_col is None else idx_col.when(F.col("priority") == t, F.lit(i))
+        idx_col = idx_col.otherwise(F.lit(len(tiers) - 1))
+        promo = F.greatest(
+            F.floor((F.lit(step) - F.col("enqueue_step")) / cfg.priority_age_every),
+            F.lit(0),
+        ).cast("int")
+        eff = F.element_at(arr, F.greatest(F.lit(0), idx_col - promo) + 1)
+        frontier = frontier.withColumn("_orig_priority", F.col("priority")).withColumn(
+            "priority", eff
+        )
+
     static = frontier.filter(F.col("depth") <= cfg.max_depth)
     if cfg.allowed_hosts is not None:
         static = static.filter(F.col("host").isin(*cfg.allowed_hosts))
@@ -168,13 +192,18 @@ def select_batch(
         if q > 0 and avail.get(p, 0) > 0
     ]
     n = sum(min(q, avail.get(p, 0)) for p, q in quotas.items() if avail.get(p, 0) > 0)
+    def _restore(df: DataFrame) -> DataFrame:
+        if not aged:
+            return df
+        return df.withColumn("priority", F.col("_orig_priority")).drop("_orig_priority")
+
     if not picks:
-        empty = budgeted.filter(F.lit(False)).drop("_host_rank", "host_score")
+        empty = _restore(budgeted.filter(F.lit(False)).drop("_host_rank", "host_score"))
         if not budget_unbound:
             budgeted.unpersist()
         return empty.withColumn("fetch_salt", F.lit(0)), 0, max_wake, total_eligible
-    selected = reduce(lambda a, b: a.unionByName(b), picks).drop(
-        "_host_rank", "host_score"
+    selected = _restore(
+        reduce(lambda a, b: a.unionByName(b), picks).drop("_host_rank", "host_score")
     )
 
     # hot-host salting: spread mega-hosts across all fetch partitions.

@@ -768,6 +768,55 @@ Q_LANG_ID_SQL = f"""
 """
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script mix per document: per-script character counts (Java
+    \\p{IsX} script properties), digit/total counts, and the dominant-script
+    label — zero-shuffle JVM regexp projections riding the scan. The signal
+    lang-id n-grams can't give (mixed-script spam, wrong-script injection)."""
+    docs = _t(spark, sf_dir, "documents")
+    cnts = TXT.script_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[cnts[k].cast("long").alias(k) for k in sorted(cnts)],
+        TXT.main_script(F.col("text")).alias("main_script"),
+    )
+
+
+def _script_cnt_sql(s: str) -> str:
+    return f"len(regexp_extract_all(text, '\\p{{{s}}}'))"
+
+
+Q_SCRIPT_MIX_SQL = f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_script_cnt_sql('Latin')} AS n_latin,
+             {_script_cnt_sql('Cyrillic')} AS n_cyrillic,
+             {_script_cnt_sql('Greek')} AS n_greek,
+             {_script_cnt_sql('Arabic')} AS n_arabic,
+             {_script_cnt_sql('Han')} AS n_han,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    m AS (SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_han) AS best FROM s)
+    SELECT doc_id,
+           CAST(n_arabic AS BIGINT) AS n_arabic,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+           CAST(n_digit AS BIGINT) AS n_digit,
+           CAST(n_greek AS BIGINT) AS n_greek,
+           CAST(n_han AS BIGINT) AS n_han,
+           CAST(n_latin AS BIGINT) AS n_latin,
+           CASE WHEN best = 0 THEN 'none'
+                WHEN n_latin = best THEN 'latin'
+                WHEN n_cyrillic = best THEN 'cyrillic'
+                WHEN n_greek = best THEN 'greek'
+                WHEN n_arabic = best THEN 'arabic'
+                ELSE 'han' END AS main_script
+    FROM m
+"""
+
+
 def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist filter: token-granular badword occurrence count +
     keep verdict, zero shuffle (stand-in blocklist; the real C4 list is a
@@ -2845,6 +2894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": q_doc_repetition,
     "ccnet_buckets": q_ccnet_buckets,
     "lang_id": q_lang_id,
+    "script_mix": q_script_mix,
     "fingerprint": q_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
     "winnow_fingerprint_fast": q_winnow_fingerprint_fast,
@@ -2941,6 +2991,7 @@ ORACLES: dict[str, str] = {
     "doc_repetition": Q_DOC_REPETITION_SQL,
     "ccnet_buckets": Q_CCNET_BUCKETS_SQL,
     "lang_id": Q_LANG_ID_SQL,
+    "script_mix": Q_SCRIPT_MIX_SQL,
     "fingerprint": Q_FINGERPRINT_SQL,
     "winnow_fingerprint": Q_WINNOW_FINGERPRINT_SQL,
     "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
