@@ -491,10 +491,11 @@ def doc_repetition(docs: DataFrame, n_top: int = 2, n_dup: int = 3) -> DataFrame
         "doc_id", "toks", F.size("toks").alias("n_toks")
     )
 
-    def gram_counts(n: int) -> DataFrame:
-        g = base.filter(F.col("n_toks") >= n).select(
+    def grams(n: int) -> DataFrame:
+        return base.filter(F.col("n_toks") >= n).select(
             "doc_id",
             "n_toks",
+            F.lit(n).alias("n"),
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.col("n_toks") - n + 1),
@@ -502,14 +503,20 @@ def doc_repetition(docs: DataFrame, n_top: int = 2, n_dup: int = 3) -> DataFrame
                 )
             ).alias("gram"),
         )
-        return g.groupBy("doc_id", "n_toks", "gram").agg(
-            F.count(F.lit(1)).alias("c")
-        )
 
-    top = gram_counts(n_top).groupBy("doc_id").agg(
+    # ONE shared per-(doc, gram-size, gram) count shuffle feeds both signals
+    # (gram strings of different sizes can't collide, but `n` keys the group
+    # anyway); the two per-doc aggregates downstream are O(docs) rows.
+    gc = (
+        grams(n_top)
+        .unionByName(grams(n_dup))
+        .groupBy("doc_id", "n_toks", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = gc.filter(F.col("n") == n_top).groupBy("doc_id").agg(
         F.round(F.max("c") * n_top / F.max("n_toks"), 9).alias("top_gram_frac9")
     )
-    dup = gram_counts(n_dup).groupBy("doc_id").agg(
+    dup = gc.filter(F.col("n") == n_dup).groupBy("doc_id").agg(
         F.round(
             F.sum(F.greatest(F.col("c") - 1, F.lit(0))) * n_dup / F.max("n_toks"), 9
         ).alias("dup_gram_frac9")

@@ -131,10 +131,12 @@ def bm25_topk(
         # sums of doubles are addition-order-sensitive; 6-dp grid (house rule)
         .agg(F.round(F.sum("w"), 6).alias("score"))
     )
+    # orderBy().limit() compiles to TakeOrderedAndProject (per-partition
+    # top-k + single merge of k rows) — never a global sort of all matching
+    # docs; the unpartitioned rank window then runs over <= topk rows only.
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(topk)
     rk = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
-    # the global window runs over <= |matching docs| pre-aggregated rows;
-    # at true scale swap for TakeOrderedAndProject via orderBy().limit()
-    return scored.withColumn("rk", rk).filter(F.col("rk") <= topk)
+    return top.withColumn("rk", rk)
 
 
 def unigram_logprob(
