@@ -825,3 +825,73 @@ def host_boilerplate_sql(width: int = 3, min_docs: int = 2) -> str:
              AS is_mostly_boiler
     FROM documents d LEFT JOIN per_doc p USING (doc_id, source)
     """
+
+
+def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization audit (the canonical-composition pass every
+    training-text pipeline runs before hashing/dedup — decomposed 'e'+U+0301
+    and composed 'é' must fingerprint identically). Arrow-batched pandas UDF
+    (the documented slow-path pattern: Python is unavoidable — Spark SQL has
+    no unicode-normalize builtin — so it runs vectorized per batch, never
+    per-row). Emits the changed flag, before/after char counts, and the md5
+    of the normalized text (small, hashable) rather than the text itself.
+
+    Zero shuffle: the UDF projection rides the scan; at 100 TB the only cost
+    is the Arrow transfer of the text column, which the operator would pay
+    to rewrite the corpus anyway.
+    """
+    import pandas as pd  # noqa: F401 — type hints resolve via module globals
+    from pyspark.sql.functions import pandas_udf
+
+    globals()["pd"] = pd  # future-annotations: hints eval against globals
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    norm = _nfc(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        (norm != F.col(text_col)).alias("changed"),
+        F.length(text_col).cast("long").alias("n_chars_before"),
+        F.length(norm).cast("long").alias("n_chars_after"),
+        F.md5(F.encode(norm, "UTF-8")).alias("norm_md5"),
+    )
+
+
+NFC_NORMALIZE_SQL = """
+    SELECT doc_id,
+           nfc_normalize(text) <> text AS changed,
+           CAST(length(text) AS BIGINT) AS n_chars_before,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_after,
+           md5(nfc_normalize(text)) AS norm_md5
+    FROM documents
+"""
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """One-row corpus rollup (the dashboard numbers every pipeline report
+    leads with): docs, tokens, chars, distinct langs/sources. A single
+    map-side-combined global aggregate — partial aggregation makes this one
+    reduce task regardless of corpus size."""
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TXT.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+
+
+CORPUS_STATS_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+"""

@@ -187,6 +187,14 @@ def ccnet_buckets(
     the tercile window orders by (rounded score, id). Shuffle account: the
     LM's term shuffle + ONE per-lang window shuffle; token-less documents
     (no defined score) are excluded like CCNet's empty pages.
+
+    Scale posture: ntile's per-lang window sorts each language in ONE task,
+    and web corpora are lang-skewed (en ≫ rest) — at 100 TB keep the exact
+    window for the tail langs but cut the head lang by score thresholds
+    from a first aggregate pass (approx_percentile(avg_logprob, [1/3, 2/3])
+    per lang, broadcast back, bucket by comparison): two scans, zero
+    windows, same buckets up to quantile-estimation error at the two cut
+    points. The exact ntile is kept here for oracle bit-parity.
     """
     scored = unigram_logprob(docs, id_col=id_col, text_col=text_col)
     lang = docs.select(id_col, lang_col)

@@ -768,6 +768,23 @@ Q_LANG_ID_SQL = f"""
 """
 
 
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit via Arrow-batched pandas UDF (Spark
+    SQL has no normalize builtin); DuckDB oracle = nfc_normalize()."""
+    return CU.nfc_normalize(_t(spark, sf_dir, "documents"))
+
+
+Q_NFC_NORMALIZE_SQL = CU.NFC_NORMALIZE_SQL
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus rollup: docs/tokens/chars/langs/sources."""
+    return CU.corpus_stats(_t(spark, sf_dir, "documents"))
+
+
+Q_CORPUS_STATS_SQL = CU.CORPUS_STATS_SQL
+
+
 def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script mix per document: per-script character counts (Java
     \\p{IsX} script properties), digit/total counts, and the dominant-script
@@ -2895,6 +2912,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_buckets": q_ccnet_buckets,
     "lang_id": q_lang_id,
     "script_mix": q_script_mix,
+    "nfc_normalize": q_nfc_normalize,
+    "corpus_stats": q_corpus_stats,
     "fingerprint": q_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
     "winnow_fingerprint_fast": q_winnow_fingerprint_fast,
@@ -2992,6 +3011,8 @@ ORACLES: dict[str, str] = {
     "ccnet_buckets": Q_CCNET_BUCKETS_SQL,
     "lang_id": Q_LANG_ID_SQL,
     "script_mix": Q_SCRIPT_MIX_SQL,
+    "nfc_normalize": Q_NFC_NORMALIZE_SQL,
+    "corpus_stats": Q_CORPUS_STATS_SQL,
     "fingerprint": Q_FINGERPRINT_SQL,
     "winnow_fingerprint": Q_WINNOW_FINGERPRINT_SQL,
     "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,

@@ -324,3 +324,30 @@ def test_doc_repetition_hand_counts(spark):
     assert abs(out[2]["top_gram_frac9"] - 3 * 2 / 4) < 1e-9
     assert abs(out[2]["dup_gram_frac9"] - 1 * 3 / 4) < 1e-9
     assert out[3]["top_gram_frac9"] == 0.0 and out[3]["dup_gram_frac9"] == 0.0
+
+
+def test_nfc_normalize_planted_unicode(spark):
+    import unicodedata
+
+    decomposed = "café olé"          # e + combining acute
+    composed = unicodedata.normalize("NFC", decomposed)
+    docs = spark.createDataFrame(
+        [(0, decomposed), (1, composed), (2, "plain ascii"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CU.nfc_normalize(docs).collect()}
+    assert out[0]["changed"] and out[0]["n_chars_after"] < out[0]["n_chars_before"]
+    assert not out[1]["changed"]
+    assert out[0]["norm_md5"] == out[1]["norm_md5"]  # normalize => identical
+    assert not out[2]["changed"]
+    assert out[3]["changed"] is None and out[3]["norm_md5"] is None
+
+
+def test_corpus_stats_hand_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en", "web"), (1, "d e", "en", "web"), (2, "f", "fr", "books")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = CU.corpus_stats(docs).collect()[0]
+    assert (r["n_docs"], r["n_tokens"], r["n_chars"]) == (3, 6, 9)
+    assert (r["n_langs"], r["n_sources"]) == (2, 2)
