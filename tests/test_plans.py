@@ -198,3 +198,42 @@ def test_mix_weights_single_corpus_exchange(spark):
     plan = _plan(spark, "mix_weights")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_badwords_filter_no_exchange(spark):
+    """Blocklist filter = tokenize + array filter riding the scan."""
+    plan = _plan(spark, "badwords_filter")
+    assert "Exchange" not in plan
+
+
+def test_script_mix_no_exchange_pruned_scan(spark):
+    """Script counts are regexp projections; scan reads (doc_id, text)."""
+    plan = _plan(spark, "script_mix")
+    assert "Exchange" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "lang" not in scan and "source" not in scan
+
+
+def test_train_split_no_exchange(spark):
+    plan = _plan(spark, "train_split")
+    assert "Exchange" not in plan
+
+
+def test_nfc_normalize_no_exchange_arrow(spark):
+    """NFC audit: one Arrow eval projection, zero shuffle."""
+    plan = _plan(spark, "nfc_normalize")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan, "must run as vectorized Arrow batches"
+    assert "BatchEvalPython" not in plan, "never row-at-a-time Python"
+
+
+def test_doc_repetition_shared_gram_shuffle(spark):
+    """Both repetition signals must feed from ONE per-(doc,n,gram) count
+    shuffle (plus the two O(docs) per-signal aggregates and the final
+    doc-key joins) — the plan must not shuffle raw grams twice."""
+    plan = _plan(spark, "doc_repetition")
+    # exchanges: gram count (1) + two per-doc aggs (2) + join keying; the
+    # pin is an upper bound — a regression to per-signal gram shuffles
+    # would add two more full-width exchanges
+    assert plan.count("hashpartitioning(doc_id") <= 6
+    assert plan.count("hashpartitioning(gram") <= 2
