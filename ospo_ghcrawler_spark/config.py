@@ -123,6 +123,12 @@ class CrawlConfig:
     # of iterations is one small-join round-trip each)
     host_score_iterations: int = 2
 
+    # honor <meta name="robots" content="nofollow"> at edge expansion (page-
+    # level robots analog; functions/extract.py:meta_robots_flags). Off by
+    # default: the reference consults only API-level visibility, not page
+    # meta, and the golden-traversal fixtures assume expansion of every page.
+    respect_meta_robots: bool = False
+
     # --- seen-set / dedup ---------------------------------------------------
     # bloom shards (by url_hash range) and bits per shard; sized so the same
     # code path scales to 10^10 urls by raising shard count, not shard size

@@ -168,3 +168,45 @@ def extract_pages_map_in_pandas(schema_out: T.StructType):
             yield pdf[cols]
 
     return fn
+
+
+# --- meta-robots directives (crawl + training opt-outs) ----------------------
+# <meta name="robots" content="noindex, nofollow"> — the page-level analog of
+# robots.txt (and, with noai/noimageai, the emerging training-data opt-out
+# convention). Pure JVM expressions over the stored html bytes: no Python in
+# the path, so the engine can honor nofollow at expansion time inside the
+# same codegen span that explodes links.
+META_ROBOTS_DIRECTIVES: tuple[str, ...] = (
+    "noindex",
+    "nofollow",
+    "noarchive",
+    "noai",
+    "noimageai",
+)
+
+_META_NAME_FIRST = (
+    r'<meta\s[^>]*name\s*=\s*["\']?robots["\']?[^>]*?'
+    r'content\s*=\s*["\']([^"\'>]*)'
+)
+_META_CONTENT_FIRST = (
+    r'<meta\s[^>]*content\s*=\s*["\']([^"\'>]*)["\'][^>]*'
+    r'name\s*=\s*["\']?robots["\']?'
+)
+
+
+def meta_robots_col(html_col: F.Column) -> F.Column:
+    """Lowercased content of the page's robots meta tag (either attribute
+    order, single/double quotes), NULL when the page has none."""
+    h = F.lower(F.decode(html_col, "UTF-8"))
+    a = F.regexp_extract(h, _META_NAME_FIRST, 1)
+    b = F.regexp_extract(h, _META_CONTENT_FIRST, 1)
+    return F.when(a != "", a).when(b != "", b)
+
+
+def meta_robots_flags(html_col: F.Column) -> dict[str, F.Column]:
+    """One boolean Column per directive (False when the tag is absent)."""
+    toks = F.transform(F.split(meta_robots_col(html_col), ","), lambda t: F.trim(t))
+    return {
+        d: F.coalesce(F.array_contains(toks, d), F.lit(False))
+        for d in META_ROBOTS_DIRECTIVES
+    }

@@ -663,8 +663,17 @@ class Crawler:
         # selected batch) and expansion honors the policy's depth ceiling —
         # the reference's per-request walk scope (routes/requests.js:79,
         # TraversalPolicy)
+        # meta-robots nofollow (cfg.respect_meta_robots): a page that opts
+        # out of link-following contributes no edges — the page-level analog
+        # of robots.txt, honored as a pure JVM regexp filter inside the same
+        # stage that explodes links (functions/extract.py:meta_robots_flags)
+        link_src = ok
+        if cfg.respect_meta_robots:
+            from ospo_ghcrawler_spark.functions.extract import meta_robots_flags
+
+            link_src = ok.filter(~meta_robots_flags(F.col("html"))["nofollow"])
         links = (
-            ok.select(
+            link_src.select(
                 "seq", "policy",
                 (F.col("depth") + 1).alias("depth"),
                 F.posexplode("links").alias("pos", "url"),
