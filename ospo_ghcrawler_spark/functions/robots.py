@@ -147,3 +147,60 @@ def robots_sitemaps(
         .select("host", "sitemap_url")
         .distinct()
     )
+
+
+# --- RFC 9309 §2.2.2 full matching: wildcards + longest-match arbitration ---
+# The engine's hot path keeps the prefix dim (ROBOTS_SCHEMA — prefix checks
+# are cheap string ops inside the politeness filter); this is the GENERAL
+# decision: Allow/Disallow patterns with `*` (any octets) and a final `$`
+# (end anchor), most-specific (longest-pattern) rule wins, tie → Allow.
+# Everything stays JVM-side: patterns compile to anchored regexes at
+# dim-build time, per-url matching is array lambdas over the (broadcast)
+# per-host rule arrays — zero shuffle on the url side.
+
+
+def robots_pattern_regex(pat: F.Column) -> F.Column:
+    """Anchored Java/RE2-safe regex equivalent of an RFC 9309 path pattern:
+    escape regex metachars, ``*`` → ``.*``, final ``$`` → end anchor
+    (non-final ``$`` is literal per the RFC)."""
+    ends = pat.endswith("$")
+    body = F.when(ends, F.substring(pat, F.lit(1), F.length(pat) - 1)).otherwise(pat)
+    esc = F.regexp_replace(body, r"([.\[\](){}+?^$|\\*])", r"\\$1")
+    wild = F.replace(esc, F.lit(r"\*"), F.lit(".*"))
+    return F.concat(F.lit("^"), wild, F.when(ends, F.lit("$")).otherwise(F.lit("")))
+
+
+def robots_rules_dim(rules: DataFrame) -> DataFrame:
+    """(host, rules: array<struct<regex, score>>) from rows of
+    (host, is_allow, pattern). score = 2·octet-length + is_allow — the
+    RFC's (longest pattern, Allow-wins-ties) order as ONE integer, so both
+    engines arbitrate with a plain max. O(hosts) rows, broadcastable."""
+    r = rules.select(
+        "host",
+        F.struct(
+            robots_pattern_regex(F.col("pattern")).alias("regex"),
+            (F.octet_length("pattern") * 2 + F.col("is_allow").cast("int")).alias("score"),
+        ).alias("rule"),
+    )
+    return r.groupBy("host").agg(F.collect_list("rule").alias("rules"))
+
+
+def robots_decide(
+    urls: DataFrame, rules: DataFrame, path_col: str = "path"
+) -> DataFrame:
+    """Per-url RFC 9309 decision against (host, is_allow, pattern) rules:
+    input columns + ``allowed`` (true when no rule matches — default-allow).
+
+    Plan: rules aggregate to O(hosts) arrays (one small shuffle), broadcast
+    join onto urls, then matching + arbitration are pure array lambdas in
+    the url scan's codegen span — the url side never shuffles.
+    """
+    dim = robots_rules_dim(rules)
+    p = F.col(path_col)
+    matched = F.filter(F.col("rules"), lambda r: F.regexp_like(p, r["regex"]))
+    best = F.array_max(F.transform(matched, lambda r: r["score"]))
+    return (
+        urls.join(F.broadcast(dim), "host", "left")
+        .withColumn("allowed", F.coalesce(best % 2 == 1, F.lit(True)))
+        .drop("rules")
+    )

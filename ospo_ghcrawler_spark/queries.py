@@ -768,6 +768,109 @@ Q_LANG_ID_SQL = f"""
 """
 
 
+def q_robots_decide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 full matching (functions/robots.py:robots_decide): Allow/
+    Disallow patterns with `*` wildcards and `$` anchors, longest-match
+    arbitration with Allow winning ties. Rules + urls synthesized
+    deterministically from supplier/part keys; the oracle restates the
+    regex compilation and the 2·len+is_allow arbitration score in SQL."""
+    from ospo_ghcrawler_spark.functions.robots import robots_decide
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    host = F.concat(F.lit("h"), k.cast("string"))
+
+    def rule(cond, is_allow, pat):
+        return s.filter(cond).select(
+            host.alias("host"), F.lit(is_allow).alias("is_allow"), F.lit(pat).alias("pattern")
+        )
+
+    rules = (
+        rule(F.lit(True), False, "/private/")
+        .unionByName(rule(k % 2 == 0, True, "/private/public"))
+        .unionByName(rule(k % 3 == 0, False, "/files/*.pdf$"))
+        .unionByName(rule(k % 3 == 0, True, "/files/ok.pdf$"))
+        .unionByName(rule(k % 4 == 0, False, "/*?sid="))
+        .unionByName(rule(k % 5 == 0, True, "/a"))
+        .unionByName(rule(k % 5 == 0, False, "/a"))
+    )
+    mx = s.agg(F.max("s_suppkey").alias("mx"))
+    p = _t(spark, sf_dir, "part").crossJoin(F.broadcast(mx))
+    pk = F.col("p_partkey")
+    m = pk % 8
+    path = (
+        F.when(m == 0, "/private/secret")
+        .when(m == 1, "/private/public/x")
+        .when(m == 2, "/files/doc.pdf")
+        .when(m == 3, "/files/doc.pdf.html")
+        .when(m == 4, "/files/ok.pdf")
+        .when(m == 5, "/a/b")
+        .when(m == 6, "/page?sid=9")
+        .otherwise("/open")
+    )
+    urls = p.select(
+        pk.alias("url_id"),
+        F.concat(F.lit("h"), (1 + pk % F.col("mx")).cast("string")).alias("host"),
+        path.alias("path"),
+    )
+    return robots_decide(urls, rules).select("url_id", "host", "path", "allowed")
+
+
+Q_ROBOTS_DECIDE_SQL = r"""
+    WITH rules0 AS (
+      SELECT 'h' || CAST(s_suppkey AS VARCHAR) AS host, FALSE AS is_allow,
+             '/private/' AS pattern FROM supplier
+      UNION ALL SELECT 'h' || CAST(s_suppkey AS VARCHAR), TRUE, '/private/public'
+        FROM supplier WHERE s_suppkey % 2 = 0
+      UNION ALL SELECT 'h' || CAST(s_suppkey AS VARCHAR), FALSE, '/files/*.pdf$'
+        FROM supplier WHERE s_suppkey % 3 = 0
+      UNION ALL SELECT 'h' || CAST(s_suppkey AS VARCHAR), TRUE, '/files/ok.pdf$'
+        FROM supplier WHERE s_suppkey % 3 = 0
+      UNION ALL SELECT 'h' || CAST(s_suppkey AS VARCHAR), FALSE, '/*?sid='
+        FROM supplier WHERE s_suppkey % 4 = 0
+      UNION ALL SELECT 'h' || CAST(s_suppkey AS VARCHAR), TRUE, '/a'
+        FROM supplier WHERE s_suppkey % 5 = 0
+      UNION ALL SELECT 'h' || CAST(s_suppkey AS VARCHAR), FALSE, '/a'
+        FROM supplier WHERE s_suppkey % 5 = 0
+    ),
+    rules AS (
+      SELECT host,
+             2 * strlen(pattern) + CAST(is_allow AS INT) AS score,
+             '^' || replace(
+                      regexp_replace(
+                        CASE WHEN pattern LIKE '%$'
+                             THEN substr(pattern, 1, length(pattern) - 1)
+                             ELSE pattern END,
+                        '([.\[\](){}+?^$|\\*])', '\\\1', 'g'),
+                      '\*', '.*')
+                 || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS regex
+      FROM rules0
+    ),
+    mx AS (SELECT max(s_suppkey) AS mx FROM supplier),
+    urls AS (
+      SELECT p_partkey AS url_id,
+             'h' || CAST(1 + p_partkey % mx AS VARCHAR) AS host,
+             CASE p_partkey % 8
+               WHEN 0 THEN '/private/secret'
+               WHEN 1 THEN '/private/public/x'
+               WHEN 2 THEN '/files/doc.pdf'
+               WHEN 3 THEN '/files/doc.pdf.html'
+               WHEN 4 THEN '/files/ok.pdf'
+               WHEN 5 THEN '/a/b'
+               WHEN 6 THEN '/page?sid=9'
+               ELSE '/open' END AS path
+      FROM part, mx
+    ),
+    sel AS (
+      SELECT u.url_id, u.host, u.path,
+             max(CASE WHEN regexp_matches(u.path, r.regex) THEN r.score END) AS best
+      FROM urls u LEFT JOIN rules r USING (host)
+      GROUP BY 1, 2, 3
+    )
+    SELECT url_id, host, path, COALESCE(best % 2 = 1, TRUE) AS allowed FROM sel
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization audit via Arrow-batched pandas UDF (Spark
     SQL has no normalize builtin); DuckDB oracle = nfc_normalize()."""
@@ -2945,6 +3048,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "refetch_schedule": q_refetch_schedule,
     "length_quantiles": q_length_quantiles,
     # webtext filtering
+    "robots_decide": q_robots_decide,
     "robots_parse": q_robots_parse,
     "surt_keys": q_surt_keys,
     "warc_export": q_warc_export,
@@ -3042,6 +3146,7 @@ ORACLES: dict[str, str] = {
     "asof_match": EV.asof_match_sql(),
     "refetch_schedule": EV.refetch_schedule_sql(),
     "length_quantiles": Q_LENGTH_QUANTILES_SQL,
+    "robots_decide": Q_ROBOTS_DECIDE_SQL,
     "robots_parse": Q_ROBOTS_PARSE_SQL,
     "surt_keys": Q_SURT_KEYS_SQL,
     "warc_export": Q_WARC_EXPORT_SQL,
