@@ -895,3 +895,97 @@ CORPUS_STATS_SQL = """
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
     FROM documents
 """
+
+
+SENT_RE = "[^.!?]+[.!?]?"
+"""Sentence-ish runs (text up to and including one terminator). Chosen for
+the Java-regex ∩ RE2 syntax subset — no lookbehind — so the Spark plan and
+the DuckDB oracle split identically."""
+
+
+def sentence_dedup(docs: DataFrame) -> DataFrame:
+    """Cross-corpus exact SENTENCE dedup (the sentence-granular variant of
+    :func:`paragraph_dedup`; cf. Lee et al. 2022's observation that most
+    web duplication is boilerplate sentences): every distinct sentence keeps
+    exactly one occurrence corpus-wide — the minimal (doc_id, pos) — and all
+    later copies are dropped.
+
+    Returns (doc_id, clean_md5, n_sents_kept, n_sents_removed); md5 over the
+    position-ordered surviving sentences joined with one space.
+
+    Plan: sentence split is a zero-shuffle regexp array projection; the keep
+    decision is ONE window shuffle keyed on sentence text; reassembly one
+    groupBy(doc_id). Same 100-TB note as paragraph_dedup: key the window on
+    xxhash64(sentence) at scale; the string key is kept for oracle parity.
+    """
+    raw = F.regexp_extract_all(F.col("text"), F.lit(SENT_RE), 0)
+    sents = F.filter(
+        F.transform(raw, lambda s: F.trim(s)), lambda s: s != ""
+    )
+    occ = docs.select("doc_id", F.posexplode(sents).alias("pos", "sent"))
+    win = Window.partitionBy("sent").orderBy("doc_id", "pos")
+    ranked = occ.withColumn("rk", F.row_number().over(win))
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rk") == 1,
+                                    F.struct(F.col("pos"), F.col("sent")),
+                                )
+                            )
+                        ),
+                        lambda s: s["sent"],
+                    ),
+                    " ",
+                ),
+                "UTF-8",
+            )
+        ).alias("clean_md5"),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).cast("long").alias("n_sents_kept"),
+        F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).cast("long").alias("n_sents_removed"),
+    )
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_md5", F.lit(empty_md5)).alias("clean_md5"),
+        F.coalesce("n_sents_kept", F.lit(0).cast("long")).alias("n_sents_kept"),
+        F.coalesce("n_sents_removed", F.lit(0).cast("long")).alias("n_sents_removed"),
+    )
+
+
+SENTENCE_DEDUP_SQL = f"""
+    WITH sents AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(regexp_extract_all(text, '{SENT_RE}'), s -> trim(s)),
+               s -> s <> '') AS ss
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos, ss[i + 1] AS sent
+      FROM sents, (SELECT unnest(range(0, 4096)) AS i)
+      WHERE i < len(ss)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rk
+      FROM occ
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             md5(COALESCE(
+                   string_agg(CASE WHEN rk = 1 THEN sent END, ' ' ORDER BY pos),
+                   '')) AS clean_md5,
+             CAST(count(*) FILTER (rk = 1) AS BIGINT) AS n_sents_kept,
+             CAST(count(*) FILTER (rk > 1) AS BIGINT) AS n_sents_removed
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.clean_md5, md5('')) AS clean_md5,
+           COALESCE(p.n_sents_kept, 0) AS n_sents_kept,
+           COALESCE(p.n_sents_removed, 0) AS n_sents_removed
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""

@@ -768,6 +768,15 @@ Q_LANG_ID_SQL = f"""
 """
 
 
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact sentence dedup, keep-first semantics (sentence-
+    granular paragraph_dedup variant; Lee et al. 2022 boilerplate)."""
+    return CU.sentence_dedup(_t(spark, sf_dir, "documents"))
+
+
+Q_SENTENCE_DEDUP_SQL = CU.SENTENCE_DEDUP_SQL
+
+
 def q_robots_decide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 full matching (functions/robots.py:robots_decide): Allow/
     Disallow patterns with `*` wildcards and `$` anchors, longest-match
@@ -3026,6 +3035,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_ngrams": q_repeated_ngrams,
     "repeated_ngram_scrub": q_repeated_ngram_scrub,
     "paragraph_dedup": q_paragraph_dedup,
+    "sentence_dedup": q_sentence_dedup,
     "host_boilerplate": q_host_boilerplate,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -3124,6 +3134,7 @@ ORACLES: dict[str, str] = {
     "repeated_ngrams": Q_REPEATED_NGRAMS_SQL,
     "repeated_ngram_scrub": Q_REPEATED_NGRAM_SCRUB_SQL,
     "paragraph_dedup": CU.paragraph_dedup_sql(width=3),
+    "sentence_dedup": Q_SENTENCE_DEDUP_SQL,
     "host_boilerplate": Q_HOST_BOILERPLATE_SQL,
     "dust_rules": Q_DUST_RULES_SQL,
     "dust_apply": Q_DUST_APPLY_SQL,

@@ -351,3 +351,21 @@ def test_corpus_stats_hand_counts(spark):
     r = CU.corpus_stats(docs).collect()[0]
     assert (r["n_docs"], r["n_tokens"], r["n_chars"]) == (3, 6, 9)
     assert (r["n_langs"], r["n_sources"]) == (2, 2)
+
+
+def test_sentence_dedup_keep_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "The cat sat. It was warm! The cat sat."),   # self-dup sentence
+            (1, "The cat sat. Something else entirely?"),     # cross-doc dup
+            (2, ""),                                          # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CU.sentence_dedup(docs).collect()}
+    # doc 0: 3 sentences, third is a repeat of the first
+    assert out[0]["n_sents_kept"] == 2 and out[0]["n_sents_removed"] == 1
+    # doc 1: first sentence already claimed by doc 0 (min doc_id wins)
+    assert out[1]["n_sents_kept"] == 1 and out[1]["n_sents_removed"] == 1
+    assert out[2]["n_sents_kept"] == 0 and out[2]["n_sents_removed"] == 0
+    assert out[2]["clean_md5"] == "d41d8cd98f00b204e9800998ecf8427e"
