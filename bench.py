@@ -124,12 +124,13 @@ BENCH_QUERIES = [
     "attenuation", "queue_depth", "deadletter", "host_skew_salt",
     "url_canonicalize", "delta_log_naming", "retry_routing", "token_traits",
     "dedup_exact", "token_stats", "quality_score", "lang_id", "fingerprint",
-    "sample_stratified", "robots_parse", "surt_keys", "source_quality",
+    "sample_stratified", "train_split", "script_mix", "badwords_filter",
+    "corpus_stats", "robots_parse", "robots_decide", "surt_keys", "source_quality",
     "warc_export", "cdx_index", "filter_funnel", "pii_scrub", "corpus_mix",
     "length_quantiles", "bm25_search", "unigram_logprob", "inverted_index",
     "refetch_schedule", "sessionize", "session_stats", "asof_match",
     "shard_pack", "decontaminate", "decontaminate_bloom", "clean_corpus",
-    "paragraph_dedup",
+    "paragraph_dedup", "sentence_dedup", "nfc_normalize",
     "tfidf_top_terms", "link_pagerank", "link_hits", "link_components",
     "sitemap_parse", "robots_sitemaps", "registered_domain", "refetch_priority",
     "domain_graph", "vocab_growth",
@@ -137,6 +138,7 @@ BENCH_QUERIES = [
     "kmeans_clusters", "cluster_sample", "repeated_ngrams",
     "repeated_ngram_scrub", "binary_meta", "media_features",
     "embedding_topk", "ann_lsh", "ann_ivf",
+    "ccnet_buckets", "doc_repetition",
     "winnow_fingerprint_fast", "winnow_fingerprint",
     "oph_minhash_lsh", "minhash_lsh", "neardup_clusters",
 ]

@@ -370,8 +370,20 @@ def shard_pack(
     lo, hi = toks.agg(F.min(order_col), F.max(order_col)).first()
     if lo is None:  # empty corpus
         return toks.withColumn("shard_id", F.lit(0).cast("int"))
-    width = max(1, (int(hi) - int(lo) + n_buckets) // n_buckets)
-    bucket = ((F.col(order_col) - F.lit(int(lo))) / F.lit(width)).cast("int")
+    # Bucket assignment happens in DOUBLE space: full-range int64 keys
+    # (e.g. xxhash64 url_hash) overflow `col - lo` under ANSI arithmetic
+    # when lo ~ -2^63.  long->double cast is monotone, and shard ids depend
+    # only on the global prefix sum (identical under any monotone
+    # bucketing), so the precision loss is harmless.
+    lo_d, hi_d = float(int(lo)), float(int(hi))
+    width_d = max(hi_d - lo_d, 1.0) / n_buckets
+    bucket = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(n_buckets - 1).cast("long"),
+            F.floor((F.col(order_col).cast("double") - F.lit(lo_d)) / F.lit(width_d)),
+        ),
+    ).cast("int")
     b = toks.withColumn("_b", bucket)
     totals = {
         r["_b"]: r["t"]
