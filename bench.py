@@ -126,7 +126,7 @@ BENCH_QUERIES = [
     "dedup_exact", "token_stats", "quality_score", "lang_id", "fingerprint",
     "sample_stratified", "train_split", "script_mix", "badwords_filter",
     "corpus_stats", "robots_parse", "robots_decide", "surt_keys", "source_quality",
-    "warc_export", "cdx_index", "filter_funnel", "pii_scrub", "corpus_mix",
+    "warc_export", "wet_export", "cdx_index", "filter_funnel", "pii_scrub", "corpus_mix",
     "length_quantiles", "bm25_search", "unigram_logprob", "inverted_index",
     "refetch_schedule", "sessionize", "session_stats", "asof_match",
     "shard_pack", "decontaminate", "decontaminate_bloom", "clean_corpus",
@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "ccnet_buckets", "doc_repetition",
     "winnow_fingerprint_fast", "winnow_fingerprint",
     "oph_minhash_lsh", "minhash_lsh", "neardup_clusters",
+    "neardup_keep_best", "incremental_neardup",
 ]
 
 

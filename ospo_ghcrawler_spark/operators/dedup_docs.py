@@ -343,6 +343,109 @@ def neardup_clusters(
     )
 
 
+def incremental_neardup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = N_PERM,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs of a NEW BATCH against an EXISTING corpus — the
+    maintenance shape of a growing training corpus: each crawl increment is
+    deduped against everything already kept, without ever re-pairing the
+    corpus with itself.
+
+    Same banded-MinHash machinery as :func:`minhash_lsh_pairs`, but the
+    band-bucket join is CROSS-SIDED (corpus × batch, never corpus × corpus):
+    at 100 TB the corpus side contributes O(corpus × bands) small band rows
+    once — in production those are the STORED fetch-time signatures
+    (cfg.minhash_at_fetch), so the corpus text is never re-read — while the
+    quadratic blowup risk is bounded by |batch|, not |corpus|. Verification
+    is exact Jaccard restricted to candidates (shared shingle pass).
+
+    Returns (corpus_id, batch_id, jaccard): a batch doc is admitted iff it
+    has no row here (plus batch-internal dedup via the ordinary self-join
+    operators).
+    """
+    rows = n_perm // bands
+    tagged = corpus.select(id_col, text_col).withColumn("_new", F.lit(False)).unionByName(
+        batch.select(id_col, text_col).withColumn("_new", F.lit(True))
+    )
+    g = _cache(shingles(tagged, id_col, text_col))
+    sig = minhash_signatures(tagged, id_col, text_col, n_perm, shingles_df=g)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    side = tagged.select(id_col, "_new")
+    banded = (
+        sig.join(side, id_col)
+        .select(F.col(id_col), F.col("_new"), F.explode(band_cols).alias("bb"))
+        .select(id_col, "_new", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    a = banded.filter(~F.col("_new")).select("band", "bucket", F.col(id_col).alias("a_id"))
+    b = banded.filter(F.col("_new")).select("band", "bucket", F.col(id_col).alias("b_id"))
+    candidates = a.join(b, ["band", "bucket"]).select("a_id", "b_id").distinct()
+    verified = jaccard_verify_candidates(
+        tagged, candidates, threshold, id_col, text_col, shingles_df=g
+    )
+    return verified.select(
+        F.col("a_id").alias("corpus_id"), F.col("b_id").alias("batch_id"), "jaccard"
+    )
+
+
+def neardup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Per near-dup cluster, keep the BEST document instead of the smallest
+    id: real pipelines keep the longest / highest-quality variant of a
+    duplicated source document (RefinedWeb keeps by heuristic quality), so
+    the canonical-representative choice is argmax(quality, tie-break min id)
+    over the component.
+
+    Reuses :func:`neardup_clusters` for the component labels (hash-min over
+    the paired subgraph only), then ONE window shuffle keyed on the label —
+    sized by the paired subgraph since singleton clusters are their own rep
+    by construction and skip the window entirely. Returns
+    (doc_id, cluster_rep, keep): keep iff the doc is its cluster's argmax.
+    """
+    from pyspark.sql import Window
+
+    labels = neardup_clusters(docs, pairs, id_col, max_iter)
+    q = docs.select(F.col(id_col), F.col(quality_col).alias("_q"))
+    lq = labels.join(q, id_col)
+    # singletons (label == own id AND no other member) skip the window: the
+    # window runs only over components touched by a pair, i.e. labels that
+    # appear on some OTHER doc too — detected from the pair set itself
+    paired_ids = (
+        pairs.select(F.col("a_id").cast("long").alias(id_col))
+        .unionByName(pairs.select(F.col("b_id").cast("long").alias(id_col)))
+        .distinct()
+    )
+    in_pairs = lq.join(paired_ids, id_col, "left_semi")
+    singletons = lq.join(paired_ids, id_col, "left_anti").select(
+        id_col, "cluster_rep", F.lit(True).alias("keep")
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(F.desc("_q"), F.col(id_col))
+    ranked = in_pairs.select(
+        id_col,
+        "cluster_rep",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    return singletons.unionByName(ranked)
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc: sum shingle-hash sign contributions per bit,
     sign of the sum becomes the bit — entirely with shiftright/bitwise ops."""

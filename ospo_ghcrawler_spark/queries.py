@@ -1045,6 +1045,86 @@ Q_NEARDUP_CLUSTERS_SQL = f"""
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus maintenance: near-dups of a new crawl batch
+    (doc_id ≡ 0 mod 7 stands in for the increment) against the existing
+    corpus (the rest) — cross-sided band join, never corpus × corpus
+    (operators/dedup_docs.py:incremental_neardup_pairs). Oracle = the exact
+    cross-set Jaccard pairs; LSH recall at this threshold/band count is
+    ≈ 0.9998 per pair and measured 1.0 on this fixed corpus (the pair set
+    is a subset of the minhash_lsh oracle's, which is hash-green)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    return DD.incremental_neardup_pairs(corpus, batch, JACCARD_T)
+
+
+Q_INCREMENTAL_NEARDUP_SQL = f"""
+    WITH g AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id, count(*) AS n_common
+      FROM g a JOIN g b ON a.shingle = b.shingle
+      WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+      GROUP BY 1, 2
+    )
+    SELECT corpus_id, batch_id,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = corpus_id
+    JOIN sizes sb ON sb.doc_id = batch_id
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_T}
+"""
+
+
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST near-dup pruning: per cluster, keep the longest variant
+    (n_chars, tie-break min doc_id) instead of the smallest id — the
+    representative choice real pipelines make (keep the richest copy of a
+    duplicated source document). Spark side = LSH pairs → hash-min
+    components → one window over the paired subgraph; oracle = recursive
+    transitive closure + the same argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, JACCARD_T)
+    return DD.neardup_keep_best(docs, pairs, "n_chars")
+
+
+Q_NEARDUP_KEEP_BEST_SQL = f"""
+    WITH RECURSIVE g AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+      FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a_id, b_id FROM common
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_T}
+    ),
+    e AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    ),
+    labels AS (
+      SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
+      FROM reach GROUP BY a
+    )
+    SELECT l.doc_id, l.cluster_rep,
+           row_number() OVER (
+             PARTITION BY l.cluster_rep ORDER BY d.n_chars DESC, l.doc_id
+           ) = 1 AS keep
+    FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+"""
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4-style corpus-cleaning pipeline composed from the text operators:
     language filter (n-gram lang-id == 'en') → quality-score threshold →
@@ -1623,6 +1703,81 @@ Q_WARC_EXPORT_SQL = """
                || 'WARC-Date: ' || warc_date || chr(13) || chr(10)
                || 'WARC-Target-URI: ' || target_uri || chr(13) || chr(10)
                || 'Content-Type: text/html' || chr(13) || chr(10)
+               || 'Content-Length: ' || content_length || chr(13) || chr(10)
+              ) AS header_md5
+    FROM h
+"""
+
+
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion-record headers (Common Crawl's extracted-text sibling
+    of the WARC response record): each document's plain text as a
+    ``WARC-Type: conversion`` record whose ``WARC-Refers-To`` points at the
+    originating response record (same deterministic id scheme as
+    q_warc_export, so the WARC↔WET linkage is verifiable). Completes the CC
+    container family (WARC response / CDX index / WET conversion). Pure JVM
+    projection, zero shuffle — rides the corpus scan."""
+    docs = _t(spark, sf_dir, "documents")
+    uri = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    warc_date = F.date_format(
+        F.expr("timestampadd(SECOND, doc_id, timestamp'2024-01-01 00:00:00')"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    clen = F.octet_length("text")
+    refers_to = F.concat(F.lit("<urn:md5:"), F.md5(F.encode(uri, "UTF-8")), F.lit(">"))
+    rec_id = F.concat(
+        F.lit("<urn:md5:"),
+        F.md5(F.encode(F.concat(F.lit("wet:"), uri), "UTF-8")),
+        F.lit(">"),
+    )
+    crlf = F.lit("\r\n")
+    header = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: conversion"), crlf,
+        F.lit("WARC-Record-ID: "), rec_id, crlf,
+        F.lit("WARC-Refers-To: "), refers_to, crlf,
+        F.lit("WARC-Date: "), warc_date, crlf,
+        F.lit("WARC-Target-URI: "), uri, crlf,
+        F.lit("Content-Type: text/plain"), crlf,
+        F.lit("Content-Length: "), clen.cast("string"), crlf,
+    )
+    return docs.select(
+        "doc_id",
+        uri.alias("target_uri"),
+        clen.cast("long").alias("content_length"),
+        rec_id.alias("record_id"),
+        refers_to.alias("refers_to"),
+        F.md5(F.encode(header, "UTF-8")).alias("header_md5"),
+    )
+
+
+Q_WET_EXPORT_SQL = """
+    WITH r AS (
+      SELECT doc_id,
+             'http://' || source || '.example/doc/' || doc_id AS target_uri,
+             strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                      '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+             octet_length(encode(text)) AS content_length
+      FROM documents
+    ),
+    h AS (
+      SELECT *,
+             '<urn:md5:' || md5('wet:' || target_uri) || '>' AS record_id,
+             '<urn:md5:' || md5(target_uri) || '>' AS refers_to
+      FROM r
+    )
+    SELECT doc_id, target_uri,
+           CAST(content_length AS BIGINT) AS content_length, record_id, refers_to,
+           md5('WARC/1.0' || chr(13) || chr(10)
+               || 'WARC-Type: conversion' || chr(13) || chr(10)
+               || 'WARC-Record-ID: ' || record_id || chr(13) || chr(10)
+               || 'WARC-Refers-To: ' || refers_to || chr(13) || chr(10)
+               || 'WARC-Date: ' || warc_date || chr(13) || chr(10)
+               || 'WARC-Target-URI: ' || target_uri || chr(13) || chr(10)
+               || 'Content-Type: text/plain' || chr(13) || chr(10)
                || 'Content-Length: ' || content_length || chr(13) || chr(10)
               ) AS header_md5
     FROM h
@@ -3014,6 +3169,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "oph_minhash_lsh": q_oph_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
+    "neardup_keep_best": q_neardup_keep_best,
+    "incremental_neardup": q_incremental_neardup,
     "clean_corpus": q_clean_corpus,
     "simhash_pairs": q_simhash_pairs,
     "token_stats": q_token_stats,
@@ -3062,6 +3219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_parse": q_robots_parse,
     "surt_keys": q_surt_keys,
     "warc_export": q_warc_export,
+    "wet_export": q_wet_export,
     "cdx_index": q_cdx_index,
     "filter_funnel": q_filter_funnel,
     "gopher_quality": q_gopher_quality,
@@ -3116,6 +3274,8 @@ ORACLES: dict[str, str] = {
     "minhash_lsh": Q_MINHASH_LSH_SQL,
     "oph_minhash_lsh": Q_OPH_MINHASH_LSH_SQL,
     "neardup_clusters": Q_NEARDUP_CLUSTERS_SQL,
+    "neardup_keep_best": Q_NEARDUP_KEEP_BEST_SQL,
+    "incremental_neardup": Q_INCREMENTAL_NEARDUP_SQL,
     "clean_corpus": Q_CLEAN_CORPUS_SQL,
     "token_stats": Q_TOKEN_STATS_SQL,
     "quality_score": Q_QUALITY_SCORE_SQL,
@@ -3161,6 +3321,7 @@ ORACLES: dict[str, str] = {
     "robots_parse": Q_ROBOTS_PARSE_SQL,
     "surt_keys": Q_SURT_KEYS_SQL,
     "warc_export": Q_WARC_EXPORT_SQL,
+    "wet_export": Q_WET_EXPORT_SQL,
     "cdx_index": Q_CDX_INDEX_SQL,
     "filter_funnel": Q_FILTER_FUNNEL_SQL,
     "gopher_quality": Q_GOPHER_QUALITY_SQL,
