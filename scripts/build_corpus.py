@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lang", default="en")
     p.add_argument("--min-quality", type=float, default=0.5)
     p.add_argument("--neardup-threshold", type=float, default=0.8)
+    p.add_argument("--keep", choices=("first", "best"), default="first",
+                   help="near-dup representative: smallest id | richest copy")
     p.add_argument("--shard-tokens", type=int, default=100_000)
     p.add_argument("--max-supersteps", type=int, default=50)
     p.add_argument("--local-cores", type=int, default=0)
@@ -108,11 +110,18 @@ def main(argv: list[str] | None = None) -> dict:
     pairs = DD.oph_lsh_pairs(
         clean, threshold=args.neardup_threshold, entries_col="minhash_oph"
     )
-    clusters = DD.neardup_clusters(clean, pairs)
-    kept = clean.join(
-        clusters.filter(F.col("cluster_rep") == F.col("doc_id")).select("doc_id"),
-        "doc_id",
-    )
+    if args.keep == "best":
+        # keep the richest copy of each duplicated document (argmax tokens)
+        # instead of the smallest id — RefinedWeb-style representative choice
+        keep_ids = DD.neardup_keep_best(clean, pairs, "n_tokens").filter(
+            F.col("keep")
+        ).select("doc_id")
+    else:
+        clusters = DD.neardup_clusters(clean, pairs)
+        keep_ids = clusters.filter(
+            F.col("cluster_rep") == F.col("doc_id")
+        ).select("doc_id")
+    kept = clean.join(keep_ids, "doc_id")
 
     # ---- deterministic split + token-budget shards (per split) ------------
     b = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(10))

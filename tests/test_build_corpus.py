@@ -8,7 +8,11 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
 
-def test_build_corpus_end_to_end(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("keep", ["first", "best"])
+def test_build_corpus_end_to_end(spark, tmp_path, keep):
     import build_corpus
 
     out = str(tmp_path / "corpus")
@@ -20,6 +24,7 @@ def test_build_corpus_end_to_end(spark, tmp_path):
             "--local-cores", "8",
             "--shard-tokens", "2000",
             "--max-supersteps", "30",
+            "--keep", keep,
         ]
     )
     assert m["n_clean"] > 0 and m["n_kept"] > 0
