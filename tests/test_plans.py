@@ -237,3 +237,18 @@ def test_doc_repetition_shared_gram_shuffle(spark):
     # would add two more full-width exchanges
     assert plan.count("hashpartitioning(doc_id") <= 6
     assert plan.count("hashpartitioning(gram") <= 2
+
+
+def test_wet_export_no_exchange(spark):
+    """WET formatter is a pure JVM projection riding the corpus scan."""
+    plan = _plan(spark, "wet_export")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_incremental_neardup_no_cartesian(spark):
+    """Batch-vs-corpus dedup must pair through the band join, never a
+    cartesian; both the candidate join and the verify stay hash joins."""
+    plan = _plan(spark, "incremental_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
