@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "warc_export", "wet_export", "cdx_index", "filter_funnel", "pii_scrub", "corpus_mix",
     "length_quantiles", "bm25_search", "unigram_logprob", "inverted_index",
     "refetch_schedule", "sessionize", "session_stats", "asof_match",
+    "aimd_budgets",
     "shard_pack", "decontaminate", "decontaminate_bloom", "clean_corpus",
     "paragraph_dedup", "sentence_dedup", "nfc_normalize",
     "tfidf_top_terms", "link_pagerank", "link_hits", "link_components",

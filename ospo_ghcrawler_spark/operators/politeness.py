@@ -171,3 +171,94 @@ def windowed_token_accounting(
             (F.col("used") > budget).alias("over"),
         )
     )
+
+
+def aimd_host_budgets(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    latency_col: str = "latency_ms",
+    slow_ms: float = 10.0,
+    slow_pct: int = 10,
+    base: int = 64,
+    min_budget: int = 8,
+    max_budget: int = 256,
+    step: int = 16,
+    window_s: int = 3600,
+) -> DataFrame:
+    """Self-tuning per-host politeness budgets (AIMD — the adaptive
+    extension of the reference's STATIC per-key limits,
+    /root/reference/providers/limiting/computeLimiter.js:27-77 and
+    inmemoryRateLimiter.js:17-36, whose budgets are fixed config): from an
+    observed fetch log, evolve each host's per-window request budget by
+    additive increase when the host is healthy and multiplicative decrease
+    when it shows strain (≥ *slow_pct*% of fetches slower than *slow_ms*).
+
+    The per-host recurrence (b₀ = base; bₜ₊₁ = max(min, bₜ/2) on breach
+    else min(max, bₜ+step)) folds entirely JVM-side: ONE map-side-combined
+    groupBy to per-(host, window) breach flags, ONE groupBy collecting each
+    host's (small) window sequence, then ``F.aggregate`` threads the AIMD
+    state through the sorted flags — no Python, no per-iteration shuffle,
+    and the fold length is windows-per-host (bounded by the log's time
+    span), never corpus-sized. All-integer budgets ⇒ bit-exact under any
+    partitioning, so the output dim is deterministic and resume-safe.
+
+    Returns (host, win, breach, budget): *budget* is the allowance IN
+    window *win* — feedback from window t applies from window t+1 on, so
+    the controller is causal (budgets never depend on the window they
+    govern). Feed the result into ``effective_host_budget``-style selection
+    dims to close the loop.
+    """
+    # epoch-micro bucketing (events.py convention): exact vs DuckDB epoch_us
+    # over the same naive parquet values under the UTC session tz
+    win = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(window_s * 1_000_000)
+    ).cast("long")
+    per_win = (
+        fetch_log.select(
+            F.col(host_col).alias("host"),
+            win.alias("win"),
+            (F.col(latency_col) > F.lit(slow_ms)).cast("int").alias("slow"),
+        )
+        .groupBy("host", "win")
+        .agg(
+            (F.sum("slow") * 100 >= F.count("*") * F.lit(slow_pct)).alias("breach")
+        )
+    )
+    seq = per_win.groupBy("host").agg(
+        F.sort_array(F.collect_list(F.struct("win", "breach"))).alias("ws")
+    )
+    # fold: acc = (cur budget, budgets emitted so far); emit BEFORE update
+    # so row i carries the budget governing window i
+    acc0 = F.struct(
+        F.lit(base).cast("int").alias("cur"),
+        F.array().cast("array<int>").alias("arr"),
+    )
+    # floor-halve explicitly: budgets can go odd after repeated halving, and
+    # int-cast truncation (Spark) vs round-half-even (DuckDB CAST) would
+    # diverge — floor division is identical in both engines for positives
+    upd = lambda cur, breach: (  # noqa: E731
+        F.when(
+            breach, F.greatest(F.lit(min_budget), F.floor(cur / 2).cast("int"))
+        ).otherwise(F.least(F.lit(max_budget), cur + F.lit(step)))
+    )
+    folded = seq.select(
+        "host",
+        "ws",
+        F.aggregate(
+            "ws",
+            acc0,
+            lambda a, x: F.struct(
+                upd(a["cur"], x["breach"]).cast("int").alias("cur"),
+                F.concat(a["arr"], F.array(a["cur"])).alias("arr"),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "host", F.posexplode(F.arrays_zip(F.col("ws"), F.col("st.arr")))
+    ).select(
+        "host",
+        F.col("col.ws.win").alias("win"),
+        F.col("col.ws.breach").alias("breach"),
+        F.col("col.arr").alias("budget"),
+    )

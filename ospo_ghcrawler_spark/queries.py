@@ -1960,6 +1960,51 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.sessionize(_t(spark, sf_dir, "events"))
 
 
+def q_aimd_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-tuning per-host politeness budgets (AIMD) from an observed fetch
+    log — the adaptive extension of the reference's static limiter config
+    (operators/politeness.py:aimd_host_budgets). The events table stands in
+    as the fetch log (user_id → host, value → latency ms). Oracle = the
+    same causal recurrence unrolled as a recursive CTE. All-integer
+    budgets; floor-halving is engine-identical for positives."""
+    from ospo_ghcrawler_spark.operators.politeness import aimd_host_budgets
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("host"), "ts", F.col("value").alias("latency_ms")
+    )
+    return aimd_host_budgets(log).select(
+        F.col("host").cast("long").alias("host"), "win", "breach", "budget"
+    )
+
+
+Q_AIMD_BUDGETS_SQL = """
+    WITH RECURSIVE pw AS (
+      SELECT user_id AS host,
+             CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS win,
+             sum(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) * 100
+               >= count(*) * 10 AS breach
+      FROM events GROUP BY 1, 2
+    ),
+    ord AS (
+      SELECT *, row_number() OVER (PARTITION BY host ORDER BY win) - 1 AS i
+      FROM pw
+    ),
+    rec(host, i, budget) AS (
+      SELECT host, 0, 64 FROM (SELECT DISTINCT host FROM pw)
+      UNION ALL
+      SELECT r.host, r.i + 1,
+             CASE WHEN o.breach
+                  THEN greatest(8, CAST(floor(r.budget / 2.0) AS INT))
+                  ELSE least(256, r.budget + 16) END
+      FROM rec r JOIN ord o ON o.host = r.host AND o.i = r.i
+      WHERE r.i < (SELECT max(i) + 1 FROM ord WHERE host = r.host)
+    )
+    SELECT o.host, o.win, o.breach, r.budget
+    FROM ord o JOIN rec r ON r.host = o.host AND r.i = o.i
+"""
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session rollup composed on sessionize (two shuffles, algebraic
     aggregates with map-side combine)."""
@@ -3211,6 +3256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # event-stream analytics
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
+    "aimd_budgets": q_aimd_budgets,
     "asof_match": q_asof_match,
     "refetch_schedule": q_refetch_schedule,
     "length_quantiles": q_length_quantiles,
@@ -3314,6 +3360,7 @@ ORACLES: dict[str, str] = {
     "vocab_growth": Q_VOCAB_GROWTH_SQL,
     "sessionize": EV.sessionize_sql(),
     "session_stats": EV.session_stats_sql(),
+    "aimd_budgets": Q_AIMD_BUDGETS_SQL,
     "asof_match": EV.asof_match_sql(),
     "refetch_schedule": EV.refetch_schedule_sql(),
     "length_quantiles": Q_LENGTH_QUANTILES_SQL,

@@ -1,0 +1,38 @@
+"""AIMD adaptive per-host politeness budgets (unit level — DuckDB parity
+covers the driver query end-to-end at sf0.01)."""
+
+import datetime
+
+from ospo_ghcrawler_spark.operators.politeness import aimd_host_budgets
+
+
+def test_aimd_causal_recurrence(spark):
+    rows = []
+    # host A: ok, ok, breach, ok  ->  64, 80, 96, 48
+    for w, lat in [(0, 1.0), (0, 2.0), (1, 3.0), (2, 50.0), (2, 60.0), (3, 1.0)]:
+        rows.append(("A", datetime.datetime(2024, 1, 1, w), lat))
+    # host B: three straight breaches -> 64, 32, 16
+    for w in range(3):
+        rows.append(("B", datetime.datetime(2024, 1, 1, w), 99.0))
+    df = spark.createDataFrame(rows, ["host", "ts", "latency_ms"])
+    out = {(r["host"], r["win"] % 24): (r["breach"], r["budget"])
+           for r in aimd_host_budgets(df).collect()}
+    assert [out[("A", w)][1] for w in range(4)] == [64, 80, 96, 48]
+    assert [out[("B", w)][1] for w in range(3)] == [64, 32, 16]
+    assert out[("A", 2)][0] is True and out[("A", 3)][0] is False
+
+
+def test_aimd_clamps(spark):
+    # 6 straight breaches from 64: 64,32,16,8,8,8 (min clamp)
+    rows = [("H", datetime.datetime(2024, 1, 1, w), 99.0) for w in range(6)]
+    df = spark.createDataFrame(rows, ["host", "ts", "latency_ms"])
+    budgets = [r["budget"] for r in
+               aimd_host_budgets(df).orderBy("win").collect()]
+    assert budgets == [64, 32, 16, 8, 8, 8]
+    # 14 healthy windows from 64: +16 each, capped at 256
+    rows = [("H", datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=w), 1.0)
+            for w in range(14)]
+    df = spark.createDataFrame(rows, ["host", "ts", "latency_ms"])
+    budgets = [r["budget"] for r in
+               aimd_host_budgets(df).orderBy("win").collect()]
+    assert budgets[-1] == 256 and budgets[:3] == [64, 80, 96]
