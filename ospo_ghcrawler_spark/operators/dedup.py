@@ -16,10 +16,13 @@ NX`` per request (/root/reference/providers/queuing/redisRequestTracker.js:
 - **windowed deletes** (recrawl windows / in-flight tracking) → a cuckoo
   filter, which supports remove (blooms don't).
 
-At 10^10 URLs the same code path holds by raising ``shards`` (the family is
+At 10^10 URLs the same code path holds by raising ``shards``: the family is
 sharded by hash range so a probe touches exactly one shard's bitmap, and
-shards can exceed single-node memory by loading only the shards matching a
-candidate partition); tests exercise 10^5-10^6 with identical code.
+when the family outgrows a broadcast (tens of GB at 20+ bits/url) the
+PARTITIONED probe (``save_family_sharded`` + ``bloom_flag_column_partitioned``)
+repartitions candidates by shard id and memory-maps one shard per task —
+no process ever holds the whole family; equivalence with the broadcast
+probe is test-pinned. Tests exercise 10^5-10^6 with identical code.
 """
 
 from __future__ import annotations
@@ -177,6 +180,75 @@ def bloom_flag_column(
             yield pdf
 
     return df.mapInPandas(probe, schema=out_schema)
+
+
+def save_family_sharded(fam: BloomFamily, dirpath: str) -> None:
+    """Checkpoint the family as ONE mmap-able ``.npy`` PER SHARD (plus a
+    tiny meta sidecar) — the layout the partitioned probe needs: a task
+    probing shard *s* opens only ``shard_{s}.npy`` and the OS pages in just
+    the bytes its hashes touch, so no process ever materializes the whole
+    family. (The single-file ``save``/``load`` npz stays the right call when
+    the family is broadcast-sized.)"""
+    os.makedirs(dirpath, exist_ok=True)
+    for s in range(fam.shards):
+        tmp = os.path.join(dirpath, f"shard_{s}.tmp.npy")
+        np.save(tmp, fam.bitmaps[s])
+        os.replace(tmp, os.path.join(dirpath, f"shard_{s}.npy"))
+    import json as _json
+
+    meta = {"shards": fam.shards, "bits": fam.bits, "k": fam.k}
+    with open(os.path.join(dirpath, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+
+
+def bloom_flag_column_partitioned(
+    df: DataFrame, hash_col: str, family_dir: str, flag: str
+) -> DataFrame:
+    """Partition-wise bloom probe for families too big to broadcast — the
+    10^10-URL regime where the seen-set bitmaps (tens of GB at ~20+
+    bits/url) exceed what a per-executor broadcast should carry.
+
+    Rows repartition by their shard id (power-of-two ``& (shards-1)``, the
+    exact JVM twin of BloomFamily.shard_of), so each task's batch touches
+    ONE shard; the task memory-maps that single shard's ``.npy`` from the
+    checkpoint dir and probes vectorized. Memory per task = the pages its
+    hash positions actually hit, independent of family size; the shuffle
+    moves only (row, shard) — the family never moves at all. Equivalence
+    with the broadcast probe is test-pinned (tests/test_dedup_filters.py).
+    """
+    import json as _json
+
+    with open(os.path.join(family_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    shards, bits, k = meta["shards"], meta["bits"], meta["k"]
+    fields = df.schema.fields + [T.StructField(flag, T.BooleanType(), False)]
+    out_schema = T.StructType(fields)
+    sid = F.col(hash_col).bitwiseAND(F.lit(shards - 1)).cast("int")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        open_shards: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            pdf = pdf.copy()
+            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            shard = (h.astype(np.uint64) % np.uint64(shards)).astype(np.int64)
+            out = np.ones(len(h), dtype=bool)
+            pos = _positions(h, bits, k)
+            for s in np.unique(shard):
+                bm = open_shards.get(int(s))
+                if bm is None:
+                    bm = np.load(
+                        os.path.join(family_dir, f"shard_{int(s)}.npy"),
+                        mmap_mode="r",
+                    )
+                    open_shards[int(s)] = bm
+                m = shard == s
+                p = pos[m]
+                bits_hit = (bm[(p >> 3)] >> (p & 7).astype(np.uint8)) & 1
+                out[m] = bits_hit.all(axis=1)
+            pdf[flag] = out
+            yield pdf
+
+    return df.repartition(sid).mapInPandas(probe, schema=out_schema)
 
 
 def seen_filter(

@@ -134,3 +134,46 @@ class TestCuckoo:
         cf.save(p)
         cf2 = CuckooFilter.load(p)
         assert cf2.contains(h).all()
+
+
+def test_partitioned_probe_matches_broadcast(spark, tmp_path):
+    """bloom_flag_column_partitioned (per-shard mmap, no broadcast) flags
+    exactly the same rows as the broadcast-family probe — the 10^10-regime
+    path is bit-equivalent to the small-family path."""
+    import numpy as np
+
+    from ospo_ghcrawler_spark.operators.dedup import (
+        BloomFamily,
+        bloom_flag_column,
+        bloom_flag_column_partitioned,
+        build_bloom_distributed,
+        save_family_sharded,
+    )
+
+    rng = np.random.default_rng(7)
+    seen_hashes = rng.integers(-(1 << 62), 1 << 62, size=4000, dtype=np.int64)
+    seen_df = spark.createDataFrame(
+        [(int(h),) for h in seen_hashes], ["url_hash"]
+    )
+    fam = build_bloom_distributed(seen_df, "url_hash", 8, 1 << 14, 5)
+    d = str(tmp_path / "fam")
+    save_family_sharded(fam, d)
+
+    # candidates: half seen, half fresh
+    fresh = rng.integers(-(1 << 62), 1 << 62, size=4000, dtype=np.int64)
+    cand = spark.createDataFrame(
+        [(int(h),) for h in np.concatenate([seen_hashes[:2000], fresh])],
+        ["url_hash"],
+    )
+    via_bc = {
+        (r["url_hash"], r["f"])
+        for r in bloom_flag_column(cand, "url_hash", fam, "f").collect()
+    }
+    via_part = {
+        (r["url_hash"], r["f"])
+        for r in bloom_flag_column_partitioned(cand, "url_hash", d, "f").collect()
+    }
+    assert via_part == via_bc
+    # every truly-seen hash must flag (no false negatives on either path)
+    flagged = {h for h, f in via_part if f}
+    assert set(int(x) for x in seen_hashes[:2000]) <= flagged
