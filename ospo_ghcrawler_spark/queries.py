@@ -3191,7 +3191,57 @@ Q_HOST_BOILERPLATE_SQL = CU.host_boilerplate_sql()
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # crawl-shaped
+    # Ordered so the driver's 50-query correctness cap covers every operator
+    # across rounds: the 47 keys with no CORRECTNESS_r03 row lead; the 50
+    # r03-driver-green keys follow (VERDICT r3, "Next round" item 1).
+    "bm25_search": q_bm25_search,
+    "unigram_logprob": q_unigram_logprob,
+    "shard_pack": q_shard_pack,
+    "corpus_mix": q_corpus_mix,
+    "mix_weights": q_mix_weights,
+    "link_pagerank": q_link_pagerank,
+    "link_hits": q_link_hits,
+    "domain_graph": q_domain_graph,
+    "vocab_growth": q_vocab_growth,
+    "sessionize": q_sessionize,
+    "session_stats": q_session_stats,
+    "aimd_budgets": q_aimd_budgets,
+    "asof_match": q_asof_match,
+    "refetch_schedule": q_refetch_schedule,
+    "length_quantiles": q_length_quantiles,
+    "robots_decide": q_robots_decide,
+    "robots_parse": q_robots_parse,
+    "surt_keys": q_surt_keys,
+    "warc_export": q_warc_export,
+    "wet_export": q_wet_export,
+    "cdx_index": q_cdx_index,
+    "filter_funnel": q_filter_funnel,
+    "gopher_quality": q_gopher_quality,
+    "source_quality": q_source_quality,
+    "url_trap": q_url_trap,
+    "dust_rules": q_dust_rules,
+    "dust_apply": q_dust_apply,
+    "token_rarity": q_token_rarity,
+    "robots_sitemaps": q_robots_sitemaps,
+    "registered_domain": q_registered_domain,
+    "refetch_priority": q_refetch_priority,
+    "sitemap_parse": q_sitemap_parse,
+    "redirect_resolve": q_redirect_resolve,
+    "anchor_texts": q_anchor_texts,
+    "snapshot_diff": q_snapshot_diff,
+    "kmeans_clusters": q_kmeans_clusters,
+    "cluster_sample": q_cluster_sample,
+    "semdedup": q_semdedup,
+    "link_components": q_link_components,
+    "embedding_topk": q_embedding_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+    "binary_meta": q_binary_meta,
+    "media_features": q_media_features,
+    # --- r03 driver-green tail ---
     "frontier_selection": q_frontier_selection,
     "politeness_window": q_politeness_window,
     "token_budget": q_token_budget,
@@ -3207,7 +3257,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_traits": q_token_traits,
     "urn_identity": q_urn_identity,
     "doc_lookup": q_doc_lookup,
-    # training-data dedup / text
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_containment": q_ngram_containment,
@@ -3233,7 +3282,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint_fast": q_winnow_fingerprint_fast,
     "sample_stratified": q_sample_stratified,
     "train_split": q_train_split,
-    # corpus curation
     "repeated_ngrams": q_repeated_ngrams,
     "repeated_ngram_scrub": q_repeated_ngram_scrub,
     "paragraph_dedup": q_paragraph_dedup,
@@ -3244,58 +3292,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "tfidf_top_terms": q_tfidf_top_terms,
     "inverted_index": q_inverted_index,
-    "bm25_search": q_bm25_search,
-    "unigram_logprob": q_unigram_logprob,
-    "shard_pack": q_shard_pack,
-    "corpus_mix": q_corpus_mix,
-    "mix_weights": q_mix_weights,
-    "link_pagerank": q_link_pagerank,
-    "link_hits": q_link_hits,
-    "domain_graph": q_domain_graph,
-    "vocab_growth": q_vocab_growth,
-    # event-stream analytics
-    "sessionize": q_sessionize,
-    "session_stats": q_session_stats,
-    "aimd_budgets": q_aimd_budgets,
-    "asof_match": q_asof_match,
-    "refetch_schedule": q_refetch_schedule,
-    "length_quantiles": q_length_quantiles,
-    # webtext filtering
-    "robots_decide": q_robots_decide,
-    "robots_parse": q_robots_parse,
-    "surt_keys": q_surt_keys,
-    "warc_export": q_warc_export,
-    "wet_export": q_wet_export,
-    "cdx_index": q_cdx_index,
-    "filter_funnel": q_filter_funnel,
-    "gopher_quality": q_gopher_quality,
-    "source_quality": q_source_quality,
-    "url_trap": q_url_trap,
-    "dust_rules": q_dust_rules,
-    "dust_apply": q_dust_apply,
-    "token_rarity": q_token_rarity,
-    "robots_sitemaps": q_robots_sitemaps,
-    "registered_domain": q_registered_domain,
-    "refetch_priority": q_refetch_priority,
-    "sitemap_parse": q_sitemap_parse,
-    "redirect_resolve": q_redirect_resolve,
-    "anchor_texts": q_anchor_texts,
-    "snapshot_diff": q_snapshot_diff,
-    # clustering
-    "kmeans_clusters": q_kmeans_clusters,
-    "cluster_sample": q_cluster_sample,
-    "semdedup": q_semdedup,
-    "link_components": q_link_components,
-    # similarity
-    "embedding_topk": q_embedding_topk,
-    "embedding_neardup": q_embedding_neardup,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
-    # multimodal
-    "binary_meta": q_binary_meta,
-    "media_features": q_media_features,
 }
 
 ORACLES: dict[str, str] = {
