@@ -184,23 +184,32 @@ META_ROBOTS_DIRECTIVES: tuple[str, ...] = (
     "noimageai",
 )
 
-_META_NAME_FIRST = (
-    r'<meta\s[^>]*name\s*=\s*["\']?robots["\']?[^>]*?'
-    r'content\s*=\s*["\']([^"\'>]*)'
+# name="robots" with the attribute-value END anchored: a matching closing
+# quote, or (unquoted) a delimiter [\s/>] via lookahead — so
+# name="robots-something" / name=robotsfoo do NOT prefix-match as the robots
+# tag, and content is captured with the MATCHING quote character (an
+# apostrophe inside a double-quoted value no longer truncates the capture).
+_NAME_ROBOTS = r'name\s*=\s*(?:"robots"|\'robots\'|robots(?=[\s/>]))'
+_META_NAME_FIRST = tuple(
+    rf'<meta\s[^>]*{_NAME_ROBOTS}[^>]*?content\s*=\s*{v}'
+    for v in (r'"([^"]*)"', r"'([^']*)'", r'([^\s"\'>]+)')
 )
-_META_CONTENT_FIRST = (
-    r'<meta\s[^>]*content\s*=\s*["\']([^"\'>]*)["\'][^>]*'
-    r'name\s*=\s*["\']?robots["\']?'
+_META_CONTENT_FIRST = tuple(
+    rf'<meta\s[^>]*content\s*=\s*{v}[^>]*{_NAME_ROBOTS}'
+    for v in (r'"([^"]*)"', r"'([^']*)'", r'([^\s"\'>]+)')
 )
 
 
 def meta_robots_col(html_col: F.Column) -> F.Column:
     """Lowercased content of the page's robots meta tag (either attribute
-    order, single/double quotes), NULL when the page has none."""
+    order; double-quoted, single-quoted, or unquoted values — each captured
+    to its own matching terminator), NULL when the page has none."""
     h = F.lower(F.decode(html_col, "UTF-8"))
-    a = F.regexp_extract(h, _META_NAME_FIRST, 1)
-    b = F.regexp_extract(h, _META_CONTENT_FIRST, 1)
-    return F.when(a != "", a).when(b != "", b)
+    out = None
+    for pat in (*_META_NAME_FIRST, *_META_CONTENT_FIRST):
+        x = F.regexp_extract(h, pat, 1)
+        out = F.when(x != "", x) if out is None else out.when(x != "", x)
+    return out
 
 
 def meta_robots_flags(html_col: F.Column) -> dict[str, F.Column]:

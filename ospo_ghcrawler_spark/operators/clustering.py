@@ -238,7 +238,15 @@ def cluster_sample_sql(
     """
 
 
-SEMDEDUP_EPS = 0.4
+# SemDeDup's operating range prunes only NEAR-duplicates: the paper (Abbas
+# et al. 2023) sweeps eps with the useful regime at cosine ~0.95+. That is
+# the out-of-box default — calling semdedup() on a real corpus must not
+# discard merely topically-similar documents. The synthetic bench fixture's
+# embeddings are far more dispersed than real sentence embeddings, so the
+# bench/oracle query passes SEMDEDUP_BENCH_EPS explicitly to get a non-
+# trivial drop set at sf0.01 (ADVICE r3).
+SEMDEDUP_EPS = 0.95
+SEMDEDUP_BENCH_EPS = 0.4
 
 
 def semdedup(

@@ -228,10 +228,12 @@ def paragraph_dedup_sql(width: int = 3) -> str:
       FROM documents
     ),
     occ AS (
+      -- chunk-index bound derived from the data (lateral over the per-doc
+      -- chunk count): no silent 4096-chunk cap vs the uncapped Spark operator
       SELECT doc_id, i AS pos,
              array_to_string(list_slice(words, i*{width}+1, i*{width}+{width}), ' ') AS chunk
-      FROM toks, (SELECT unnest(range(0, 4096)) AS i)
-      WHERE i*{width} < len(words)
+      FROM toks,
+           LATERAL (SELECT unnest(range(0, (len(words) + {width} - 1) // {width})) AS i) u
     ),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rk
@@ -978,9 +980,11 @@ SENTENCE_DEDUP_SQL = f"""
       FROM documents
     ),
     occ AS (
+      -- index bound derived from the data (lateral unnest over range(0,
+      -- len(ss))): no silent cap on sentences per document, so the oracle
+      -- matches the uncapped Spark operator at any document length
       SELECT doc_id, i AS pos, ss[i + 1] AS sent
-      FROM sents, (SELECT unnest(range(0, 4096)) AS i)
-      WHERE i < len(ss)
+      FROM sents, LATERAL (SELECT unnest(range(0, len(ss))) AS i) u
     ),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rk

@@ -41,7 +41,7 @@ from ospo_ghcrawler_spark.operators.dedup import (
     build_bloom_distributed,
     seen_filter,
 )
-from ospo_ghcrawler_spark.operators.fetch import simulated_fetch
+from ospo_ghcrawler_spark.operators.fetch import simulated_fetch_bloom
 from ospo_ghcrawler_spark.operators.politeness import (
     compute_limiter_benches,
     effective_host_budget,
@@ -125,7 +125,7 @@ class Crawler:
         robots: DataFrame,
         cfg: CrawlConfig | None = None,
         run_id: str = "run",
-        fetcher: Fetcher = simulated_fetch,
+        fetcher: Fetcher = simulated_fetch_bloom,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -1134,7 +1134,7 @@ class Crawler:
         robots: DataFrame,
         cfg: CrawlConfig | None = None,
         run_id: str = "run",
-        fetcher: Fetcher = simulated_fetch,
+        fetcher: Fetcher = simulated_fetch_bloom,
     ) -> "Crawler":
         """Reopen a run exactly where its last committed superstep left it:
         roll every table back to the manifest's snapshot ids and reload the

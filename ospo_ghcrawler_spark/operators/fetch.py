@@ -76,7 +76,9 @@ def _corpus_url_set(corpus: DataFrame):
 
 def simulated_fetch(selected: DataFrame, corpus: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Serve the selected batch from the synthetic corpus WITHOUT ever
-    shuffling html:
+    shuffling html (NOT the default — ``simulated_fetch_bloom`` is; this
+    variant's miss detection collects the corpus url set to the driver and is
+    kept only for tiny-corpus micro-tests):
 
     - hits  = corpus ⋈(BHJ, broadcast selected keys) — html never leaves its
       scan partition;
@@ -163,10 +165,12 @@ def simulated_fetch_bloom(selected: DataFrame, corpus: DataFrame, cfg: CrawlConf
       whose corpus side is pruned to the url column and whose output is
       batch-bounded. This is the miss-detection shape that holds at a 10^10-
       url universe, where collecting the url set (``_corpus_url_set``) is
-      impossible; the default ``simulated_fetch`` keeps the collected set
-      only because the sandbox corpus is bounded and the collect is cheaper
-      than the bloom build at test scale. Equivalence of the two fetchers is
-      pinned by tests/test_fetch_contract.py."""
+      impossible. This is the DEFAULT fetcher (``Crawler(fetcher=...)``):
+      the out-of-box path never drives a corpus-sized collect. The collected-
+      set variant ``simulated_fetch`` remains available for micro-tests where
+      the corpus is tiny and the collect is cheaper than the bloom build.
+      Equivalence of the two fetchers is pinned by
+      tests/test_fetch_contract.py."""
     from ospo_ghcrawler_spark.operators.dedup import bloom_flag_column
 
     sel_cols = [c for c in FETCH_OUT_COLS if c not in ("html", "lang", "warc_ts", "status", "fetch_ms")]

@@ -2054,13 +2054,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pruning whose pair join never leaves a cluster cell."""
     from ospo_ghcrawler_spark.operators import clustering as KM
 
-    return KM.semdedup(_t(spark, sf_dir, "embeddings"))
+    return KM.semdedup(_t(spark, sf_dir, "embeddings"), eps=KM.SEMDEDUP_BENCH_EPS)
 
 
 def _semdedup_sql() -> str:
     from ospo_ghcrawler_spark.operators import clustering as KM
 
-    return KM.semdedup_sql()
+    return KM.semdedup_sql(eps=KM.SEMDEDUP_BENCH_EPS)
 
 
 def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2327,9 +2327,8 @@ Q_ROBOTS_PARSE_SQL = """
     ),
     lines AS (
       SELECT host, i AS pos, trim(regexp_replace(l[i], '#.*', '')) AS clean
-      FROM (SELECT host, string_split(robots_txt, chr(10)) AS l FROM raw)
-           CROSS JOIN (SELECT unnest(range(1, 64)) AS i)
-      WHERE i <= len(l)
+      FROM (SELECT host, string_split(robots_txt, chr(10)) AS l FROM raw),
+           LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
     ),
     parsed AS (
       SELECT host, pos,

@@ -18,6 +18,13 @@ def test_meta_robots_extraction_variants(spark):
         (2, b'<meta name=robots content="NOARCHIVE">'),        # unquoted name, caps
         (3, b"<html><meta name='viewport' content='w'></html>"),  # no robots tag
         (4, b'<meta name="robots" content="all">'),
+        # ADVICE r3: prefix names must NOT match as the robots tag
+        (5, b'<meta name="robots-something" content="noindex">'),
+        (6, b'<meta name=robotsfoo content="nofollow">'),
+        # apostrophe inside a double-quoted value must not truncate capture
+        (7, b'<meta name="robots" content="noindex, it\'s nofollow">'),
+        # unquoted content value (delimited by whitespace/>)
+        (8, b'<meta name=robots content=noindex>'),
     ]
     df = spark.createDataFrame(rows, "i long, html binary")
     flags = meta_robots_flags(F.col("html"))
@@ -37,6 +44,10 @@ def test_meta_robots_extraction_variants(spark):
         out[3][d] for d in ("noindex", "nofollow", "noarchive", "noai")
     )
     assert not out[4]["noindex"]
+    assert out[5]["raw"] is None and not out[5]["noindex"]
+    assert out[6]["raw"] is None and not out[6]["nofollow"]
+    assert out[7]["raw"] == "noindex, it's nofollow" and out[7]["noindex"]
+    assert out[8]["raw"] == "noindex" and out[8]["noindex"]
 
 
 def _corpus(spark, nofollow_seed: bool):
