@@ -1979,12 +1979,19 @@ def q_aimd_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_AIMD_BUDGETS_SQL = """
-    WITH RECURSIVE pw AS (
+    WITH RECURSIVE pw0 AS (
       SELECT user_id AS host,
              CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS win,
              sum(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) * 100
                >= count(*) * 10 AS breach
       FROM events GROUP BY 1, 2
+    ),
+    -- trailing-window tail cap, aligned with aimd_host_budgets(max_windows)
+    pw AS (
+      SELECT host, win, breach FROM (
+        SELECT *, row_number() OVER (PARTITION BY host ORDER BY win DESC) AS rn
+        FROM pw0
+      ) WHERE rn <= 4096
     ),
     ord AS (
       SELECT *, row_number() OVER (PARTITION BY host ORDER BY win) - 1 AS i

