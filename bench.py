@@ -564,12 +564,19 @@ def _size_pages(
         return (raw_budget_s / k - 2 * f - 2 * sub_overhead_s) / per_core
 
     ladder: list[tuple[int, float]] = [(4, 14.0), (3, 14.0), (2, 14.0)]
-    if slowdown is not None and slowdown <= 1.7:
+    quiet = slowdown is not None and slowdown <= 1.7
+    # quiet host: F-fraction is the binding constraint, not rep variance —
+    # raise the per-pair W ceiling to 32F (predict (33F)/(36F) ≈ 0.917 for
+    # the (1,4) pair) so a calm hour isn't wasted on a 24F-capped corpus
+    # (round-3 verdict: sizing the lo leg UP when calibration reads ≤1.7×
+    # predicts ≈0.89 within the same budget)
+    w_cap = 32.0 if quiet else 24.0
+    if quiet:
         ladder = [(3, 16.0), (2, 16.0)] + ladder
     for k, floor in ladder:
         fit_Wk = fit(k)
         if fit_Wk >= floor * f:
-            target_W = min(24 * f, fit_Wk)
+            target_W = min(w_cap * f, fit_Wk)
             break
     else:
         fit_W1 = (raw_budget_s * 0.75 - 2 * f - 2 * sub_overhead_s) / per_core
