@@ -78,3 +78,64 @@ def test_streaming_sessionize_matches_batch_across_microbatches(spark, tmp_path)
     # the boundary-spanning session really did span micro-batches
     assert got[1] == got[2] == got[4] and got[5] == got[4] + 1
     assert got[6] == got[3] + 1
+
+
+def test_streaming_sessionize_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart mid-stream: a fresh query object resumed from the
+    same checkpoint must restore per-user (last_ts, ordinal) state so a
+    session spanning the RESTART boundary keeps its id and a post-restart
+    gap still increments — bit-identical to the batch operator over the
+    concatenated input."""
+    src = str(tmp_path / "ev")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_query():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        return (
+            streaming_sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    b0 = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:10:00"),
+        (3, 2, "2024-01-01 00:00:00"),
+    ]
+    _write(src, "b0.json", b0, 1_000_000)
+    q = run_query()
+    q.awaitTermination(180)
+
+    # while DOWN: user 1 continues within-gap across the restart AND opens
+    # a later session; user 2 gaps out -> new session
+    b1 = [
+        (4, 1, "2024-01-01 00:20:00"),
+        (5, 1, "2024-01-01 01:05:00"),
+        (6, 2, "2024-01-01 02:00:00"),
+    ]
+    _write(src, "b1.json", b1, 1_000_100)
+    q = run_query()
+    q.awaitTermination(180)
+
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    static = spark.createDataFrame(
+        [(e, u, t) for e, u, t in b0 + b1],
+        schema="event_id long, user_id long, ts string",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) as ts")
+    want = {r["event_id"]: r["session_id"] for r in sessionize(static).collect()}
+    assert got == want
+    # the restart-spanning session kept its id; the later gap still split
+    assert got[1] == got[2] == got[4] and got[5] == got[4] + 1
+    assert got[6] == got[3] + 1
