@@ -83,19 +83,28 @@ STATUS_TRANSPORT_ERROR = 599
 
 
 def _get_one(
-    url: str, timeout_s: float, max_bytes: int, user_agent: str
+    url: str, timeout_s: float, max_bytes: int, user_agent: str,
+    etag: str | None = None,
 ) -> tuple[int, bytes | None, object, int]:
     """(status, body, warc_ts, fetch_ms) for one GET. stdlib-only; swap
-    this function for an aiohttp/httpx session to change transports."""
+    this function for an aiohttp/httpx session to change transports.
+
+    *etag* (when known from a prior fetch) is sent as ``If-None-Match`` —
+    the reference's conditional-fetch semantic (its fetcher replays the
+    stored payload etag; githubFetcher.js:81-120 routes 304 to the cached
+    document). A 304 comes back as status 304 with no body: the engine
+    settles it like any non-200 (<500) status, so the url leaves the
+    frontier and ``pages_latest`` keeps serving the prior 200 version —
+    exactly the reference's 304-skip."""
     import urllib.error
     import urllib.request
 
     t0 = time.monotonic()
     try:
-        req = urllib.request.Request(
-            url,
-            headers={"User-Agent": user_agent, "Accept-Encoding": "identity"},
-        )
+        headers = {"User-Agent": user_agent, "Accept-Encoding": "identity"}
+        if etag:
+            headers["If-None-Match"] = etag
+        req = urllib.request.Request(url, headers=headers)
         with urllib.request.urlopen(req, timeout=timeout_s) as resp:
             body = resp.read(max_bytes)
             status = resp.status
@@ -123,6 +132,7 @@ def make_network_fetch(
     timeout_s: float = 10.0,
     max_bytes: int = 4 << 20,
     user_agent: str = "ospo-crawler",
+    etag_provider=None,
 ):
     """Fetcher over live HTTP: ``mapInPandas`` of thread-pooled GETs per
     Arrow batch, repartitioned by ``fetch_salt``. Same contract as
@@ -133,6 +143,14 @@ def make_network_fetch(
     functions/text.py:lang_id_col); ``warc_ts`` is the response Date header
     (fetch wall-clock when absent) — the capture-time semantic of a WARC
     record, not a determinism input.
+
+    *etag_provider*: optional ``url -> http_etag|None`` callable, resolved
+    PER TASK inside the workers (it must be picklable and cheap — e.g. a
+    closure over a broadcast dict built from the doc store's last-seen
+    response etags, or a KV-store client). When it yields an etag the GET
+    goes out conditional (``If-None-Match``) and an unchanged document
+    returns as a bodyless 304 row — the reference fetcher's etag replay
+    (payload ``{body, etag, fetchedAt}``, crawlerFactory.js:669-679).
     """
 
     def fetch(selected: DataFrame, corpus: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -147,7 +165,10 @@ def make_network_fetch(
                         continue
                     got = list(
                         pool.map(
-                            lambda u: _get_one(u, timeout_s, max_bytes, user_agent),
+                            lambda u: _get_one(
+                                u, timeout_s, max_bytes, user_agent,
+                                etag=etag_provider(u) if etag_provider else None,
+                            ),
                             pdf["url"],
                         )
                     )

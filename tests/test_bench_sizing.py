@@ -23,8 +23,9 @@ def test_quiet_host_prefers_size_over_reps(bench):
     _, w_quiet = bench._size_pages(budget, w, f, ov, slowdown=1.3)
     _, w_loud = bench._size_pages(budget, w, f, ov, slowdown=2.8)
     assert w_quiet > w_loud
-    # quiet sizing reaches the 24F cap when the budget allows
-    assert w_quiet == pytest.approx(24 * f)
+    # quiet sizing reaches the raised 32F cap when the budget allows
+    # (r4: a calm hour buys W/F headroom — predict (33F)/(36F) ~ 0.917)
+    assert w_quiet == pytest.approx(min(32 * f, (budget / 3 - 2 * f - 2 * ov) / 1.25))
 
 
 def test_loud_and_unknown_hosts_keep_rep_first_ladder(bench):
@@ -41,4 +42,5 @@ def test_sizes_never_ratio_invalid(bench):
             f = 13.0
             pages, W = bench._size_pages(budget, 0.006, f, 30.0, slowdown=slow)
             assert pages >= 2000
-            assert W <= 24 * f + 1e-9
+            cap = 32 * f if (slow is not None and slow <= 1.7) else 24 * f
+            assert W <= cap + 1e-9

@@ -10,6 +10,7 @@ Two loopback IPs (127.0.0.1 / 127.0.0.2) give two distinct crawl hosts on
 one server socket.
 """
 
+import hashlib
 import http.server
 import threading
 from collections import Counter
@@ -83,8 +84,18 @@ def site():
             if body is None:
                 self.send_error(404, "off corpus")
                 return
+            etag = '"' + hashlib.md5(body).hexdigest() + '"'
+            if self.headers.get("If-None-Match"):
+                with lock:
+                    hits[(host, self.path, "conditional")] += 1
+                if self.headers["If-None-Match"] == etag:
+                    self.send_response(304)
+                    self.send_header("ETag", etag)
+                    self.end_headers()
+                    return
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("ETag", etag)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -168,3 +179,58 @@ def test_live_crawl_over_loopback_http(spark, site, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+def test_etag_conditional_refetch_304_skip(spark, site, tmp_path):
+    """Reference F1 etag semantics over a live socket: a recrawl of an
+    unchanged page goes out as a conditional GET (If-None-Match from the
+    prior fetch) and settles as a bodyless 304 — the url leaves the
+    frontier, and pages_latest keeps serving the prior 200 version (the
+    reference fetcher's 304 → cached-document route)."""
+    port, hits, universe = site["port"], site["hits"], site["universe"]
+    seed = f"http://{H2}:{port}/p0"
+    robots = fetch_robots_df(spark, [f"http://{H2}:{port}"], budget_per_window=100)
+    corpus = spark.createDataFrame([], PAGES_SCHEMA)
+    cfg = CrawlConfig(batch_size=50, frontier_partitions=4)
+    root = str(tmp_path / "cat_etag")
+
+    # first crawl: unconditional (no prior etags known)
+    c = Crawler(
+        spark, root, corpus, robots, cfg, run_id="etag",
+        fetcher=make_network_fetch(max_workers_per_task=4, timeout_s=5.0),
+    )
+    c.seed([seed])
+    c.run(max_supersteps=8)
+    first = {r["url"]: r for r in pages_latest(c).collect()}
+    assert seed in first and f"http://{H2}:{port}/p1" in first
+
+    # reopen the run with an etag-aware fetcher (provider = the server's
+    # strong etags, as a doc store would have recorded them) and recrawl p0
+    etags = {
+        f"http://{h}:{p_port}{p}": '"' + hashlib.md5(body).hexdigest() + '"'
+        for (h, p), body in universe.items()
+        for p_port in (port,)
+    }
+    c2 = Crawler.resume(
+        spark, root, corpus, robots, cfg, run_id="etag",
+        fetcher=make_network_fetch(
+            max_workers_per_task=4, timeout_s=5.0,
+            etag_provider=lambda u: etags.get(u),
+        ),
+    )
+    from ospo_ghcrawler_spark.operators.control import requeue_for_refetch
+
+    assert requeue_for_refetch(c2, [seed]) == 1
+    c2.run(max_supersteps=4)
+
+    # the refetch went out conditional and the server answered 304
+    assert hits[(H2, "/p0", "conditional")] >= 1
+    log = c2.catalog.table("pages").read()
+    statuses = sorted(
+        r["status"] for r in log.filter(F.col("url") == seed).collect()
+    )
+    assert statuses == [200, 304]
+    # latest view still serves the original 200 document
+    after = {r["url"]: r for r in pages_latest(c2).collect()}
+    assert after[seed]["text"] == first[seed]["text"]
+    assert after[seed]["superstep"] == first[seed]["superstep"]
