@@ -1161,6 +1161,32 @@ def _write_baseline_md(result: dict, prev_n: int | None, ctx: dict) -> None:
                 "LATEST run.",
                 "",
             ]
+        # noise-aware statistics alongside the order statistic (ADVICE r3):
+        # the headline is a max over a noisy sample — also report what a
+        # random-hour draw measures on this host
+        effs = sorted(h["efficiency"] for h in hist_all if h.get("efficiency"))
+        quiet = sorted(
+            h["efficiency"]
+            for h in hist_all
+            if h.get("efficiency")
+            and (h.get("host_slowdown_vs_round2") or 9) <= 2.2
+        )
+
+        def med(xs):
+            return xs[len(xs) // 2] if len(xs) % 2 else (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
+
+        if effs:
+            lines += [
+                f"**Noise-aware statistics alongside the best run**: median over",
+                f"all {len(effs)} disclosed completed runs **{med(effs):.3f}**; median over",
+                f"the {len(quiet)} runs whose calibration read ≤2.2× the round-2 host",
+                f"speed **{med(quiet):.3f}**. The best-run headline is the min-of-N",
+                "estimator of the UNLOADED machine (within-run rep noise dominates",
+                "the slowdown→ratio mapping, SCALING_NOTES §3o); the medians say",
+                "what a random-hour draw measures on THIS host — both are reported",
+                "so the gate claim doesn't rest on an order statistic alone.",
+                "",
+            ]
     if crawl:
         n_pages = crawl["corpus_pages"]
         r_lo_w = result["queries"][f"crawl_local{lo}"]
