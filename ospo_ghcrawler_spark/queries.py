@@ -1011,17 +1011,30 @@ Q_CLASSIFIER_SCORE_SQL = f"""
 # queries pays for the iterative loop exactly once (VERDICT r3 #2). The
 # pair set is localCheckpoint-pinned so both consumers read the SAME
 # materialized pairs; labels come pre-checkpointed from neardup_labels.
-_NEARDUP_SHARED: dict[str, tuple[DataFrame, DataFrame]] = {}
+_NEARDUP_SHARED: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def clear_neardup_cache() -> None:
+    """Drop the shared neardup prefix. bench.py calls this between timed
+    queries (alongside catalog.clearCache) so per-query timings stay
+    cold-path honest — localCheckpoint-pinned RDDs survive clearCache and
+    would hand the second of clusters/keep-best its expensive LSH+label
+    prefix for free (ADVICE r4)."""
+    _NEARDUP_SHARED.clear()
 
 
 def _neardup_shared(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    hit = _NEARDUP_SHARED.get(sf_dir)
+    # keyed by (session, sf_dir): a localCheckpoint-pinned DataFrame is
+    # bound to the SparkSession that made it — a new session in the same
+    # process (or a regenerated dataset) must not resurrect stale plans
+    key = (id(spark), sf_dir)
+    hit = _NEARDUP_SHARED.get(key)
     if hit is not None:
         return hit
     docs = _t(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(docs, JACCARD_T).localCheckpoint()
     labels = DD.neardup_labels(pairs)
-    _NEARDUP_SHARED[sf_dir] = (pairs, labels)
+    _NEARDUP_SHARED[key] = (pairs, labels)
     return pairs, labels
 
 
