@@ -226,7 +226,9 @@ def doc_delete(crawler: Crawler, url: str) -> int:
     return t.overwrite(remaining)
 
 
-def requeue_for_refetch(crawler: Crawler, urls: list[str], priority: int = 2) -> int:
+def requeue_for_refetch(
+    crawler: Crawler, urls: list[str] | DataFrame, priority: int = 2
+) -> int:
     """Conditional-refetch path (reference etag semantics, D3: the fetcher
     reuses the stored etag to decide 304-skips; here recrawl is explicit):
     the given already-crawled urls leave the ``seen`` table and re-enter the
@@ -240,15 +242,26 @@ def requeue_for_refetch(crawler: Crawler, urls: list[str], priority: int = 2) ->
     new harvest row's ``etag`` (md5 of extracted text) with the previous
     snapshot's.
 
+    *urls* is either a bounded python list OR a DataFrame with a ``url``
+    column — the DataFrame form keeps a mass refetch (10⁵+ urls, e.g. "all
+    urls older than 30 days" computed from pages_latest) fully distributed:
+    the url STRINGS never land on the driver; only their 8-byte hashes do
+    (the recrawl cuckoo window is driver-built state either way).
+
     Returns the number requeued."""
     from ospo_ghcrawler_spark.functions.urls import canonicalize_udf, host_col
 
     crawler._await_pending()
     crawler._next_frontier = None  # frontier append below invalidates the plan
+    src = (
+        urls.select("url")
+        if isinstance(urls, DataFrame)
+        else crawler.spark.createDataFrame([(u,) for u in urls], ["url"])
+    )
     # canonicalize at the edge like the seed path — a non-canonical but
     # equivalent caller URL must hit the same url_hash/host identity
     cand = (
-        crawler.spark.createDataFrame([(u,) for u in urls], ["url"])
+        src
         .select(canonicalize_udf("url").alias("url"))
         .filter(F.col("url").isNotNull())
         .withColumn("url_hash", F.xxhash64("url"))
@@ -277,8 +290,17 @@ def requeue_for_refetch(crawler: Crawler, urls: list[str], priority: int = 2) ->
     crawler.register_recrawl(present)
     f_t = crawler.catalog.table("frontier")
     p = crawler.cfg.frontier_partitions
+    # only urls that actually left `seen` re-enter the frontier — a
+    # never-crawled url in the caller's set is NOT a refetch (it must come
+    # in through seed()/edges, where scope and robots apply); the hashes
+    # are already on the driver for the recrawl window, so the restriction
+    # is a broadcast semi-join against them
+    present_df = crawler.spark.createDataFrame(
+        [(h,) for h in present], "url_hash long"
+    )
     rows = (
         cand
+        .join(F.broadcast(present_df), "url_hash", "left_semi")
         .withColumn("host", host_col(F.col("url")))
         .withColumn("host_salt", F.pmod(F.xxhash64("host"), F.lit(p)).cast("int"))
         .withColumn("priority", F.lit(priority).cast("int"))

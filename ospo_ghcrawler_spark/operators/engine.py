@@ -624,6 +624,29 @@ class Crawler:
         if debug_timing:
             selected.count()  # profile-only: split batch-cache materialization
             _mark("sel_mat")  # out of the harvest job's wall
+        # conditional-GET hints (fetchers that declare wants_etag_hints,
+        # e.g. the network fetcher): attach each selected url's last-seen
+        # RESPONSE ETag from the doc store as an `etag_hint` column. A
+        # broadcast semi-join reduction keyed on the (politeness-bounded,
+        # small) batch — the pages table streams ONCE, pruned to three
+        # columns, and never shuffles; fresh urls simply get a null hint
+        # (reference etag replay, lib/crawlerFactory.js:669-679). Gated on
+        # the fetcher attribute so corpus-simulated crawls pay nothing.
+        if getattr(self.fetcher, "wants_etag_hints", False):
+            prior_etags = (
+                self.catalog.table("pages")
+                .read()
+                .filter((F.col("status") == 200) & F.col("http_etag").isNotNull())
+                .select("url_hash", "http_etag", "superstep")
+                .join(
+                    F.broadcast(selected.select("url_hash").distinct()),
+                    "url_hash",
+                    "leftsemi",
+                )
+                .groupBy("url_hash")
+                .agg(F.max_by("http_etag", "superstep").alias("etag_hint"))
+            )
+            selected = selected.join(F.broadcast(prior_etags), "url_hash", "left")
         fetched = self.fetcher(selected, self.corpus, cfg)
         if "text" in fetched.columns and "links" in fetched.columns:
             extracted = fetched  # fetcher fused extraction into its Arrow pass
@@ -641,6 +664,13 @@ class Crawler:
         # html/text away (columnar scan) instead of re-materializing them.
         pages_t = self.catalog.table("pages")
         feat_cols = self._feat_cols
+        # fetcher-optional columns (network fetcher emits them; simulated
+        # fetchers don't — null-fill so the harvest schema is uniform)
+        def _opt(c: str):
+            return (
+                F.col(c) if c in extracted.columns else F.lit(None).cast("string")
+            ).alias(c)
+
         harvest = extracted.select(
             "url", "warc_ts", "html", "text", "lang", "links",
             "url_hash", "host", "priority", "attempt", "depth",
@@ -648,6 +678,7 @@ class Crawler:
             F.lit(step).cast("int").alias("superstep"),
             "status", "fetch_ms",
             F.md5(F.encode("text", "UTF-8")).alias("etag"),
+            _opt("redirect_to"), _opt("http_etag"),
             *feat_cols,
         )
         pages_sid = pages_t.append(harvest)
@@ -686,6 +717,38 @@ class Crawler:
             .filter(F.col("depth") <= self._edges_depth_ceiling)
         )
         edges = links
+        # redirect targets (fetchers that declare emits_redirects, e.g. the
+        # network fetcher): a 3xx settles under its ORIGINAL url; its
+        # Location re-enters here as one more edge — through the SAME
+        # canonicalize → scope → robots → attenuation → seen-dedup path as
+        # any extracted link, so a page that 301s to a robots-disallowed
+        # target is never fetched (ADVICE r4; the reference treats redirect
+        # targets as new requests). pos=-1 ranks the redirect ahead of the
+        # page's extracted links in first-occurrence attenuation. Gated on
+        # the fetcher attribute so simulated crawls add no plan branch.
+        if getattr(self.fetcher, "emits_redirects", False):
+            from ospo_ghcrawler_spark.functions.urls import canonicalize_col
+
+            redirect_edges = (
+                log.filter(
+                    F.col("status").between(300, 399)
+                    & F.col("redirect_to").isNotNull()
+                )
+                .select(
+                    "seq", "policy",
+                    (F.col("depth") + 1).alias("depth"),
+                    F.lit(-1).alias("pos"),
+                    canonicalize_col(F.col("redirect_to")).alias("url"),
+                )
+                .filter(F.col("url").isNotNull())
+                .select(
+                    "*",
+                    F.xxhash64("url").alias("url_hash"),
+                    host_col(F.col("url")).alias("host"),
+                )
+                .filter(F.col("depth") <= self._edges_depth_ceiling)
+            )
+            edges = links.unionByName(redirect_edges)
         if cfg.allowed_hosts is not None:
             edges = edges.filter(F.col("host").isin(*cfg.allowed_hosts))
         edges = robots_allowed_filter(edges, self.robots)

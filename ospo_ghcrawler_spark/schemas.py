@@ -51,6 +51,16 @@ HARVEST_SCHEMA = T.StructType(
         # (reference storageDocStore.etag, providers/storage/
         # storageDocStore.js:79-91)
         T.StructField("etag", T.StringType(), True),
+        # 3xx Location (network fetcher only; null otherwise): redirects are
+        # settled under the ORIGINAL url and the target re-enters through
+        # the normal canonicalize/robots/selection path — never followed
+        # in-transport (that would fetch a url the scheduler didn't check)
+        T.StructField("redirect_to", T.StringType(), True),
+        # the server's ETag response header (network fetcher only; null
+        # otherwise) — what conditional refetch sends back as
+        # If-None-Match. Distinct from `etag` above, which is OUR content
+        # hash (reference payload etag replay, crawlerFactory.js:669-679)
+        T.StructField("http_etag", T.StringType(), True),
         # fetch-time document features (cfg.featurize_at_fetch; null when
         # disabled): the text-quality signals a training-data pipeline needs
         # are computed in the SAME single pass that already holds the text,

@@ -222,3 +222,41 @@ def test_winnow_at_fetch_matches_query_path(spark, tmp_path):
         F.col("winnow_fp") != TXT.winnow_fingerprints_tokens(F.col("text"))
     ).count()
     assert mism == 0
+
+
+def test_requeue_for_refetch_dataframe_form(spark, tmp_path):
+    """Mass-refetch path (VERDICT r4 #7): `requeue_for_refetch` accepts a
+    DataFrame of urls — the url strings never materialize as a driver-side
+    list, so "refetch everything matching a predicate over pages_latest"
+    stays distributed end-to-end (only the 8-byte hashes of urls actually
+    removed from `seen` reach the driver, for the recrawl cuckoo window)."""
+    corpus = synth_pages(spark, n_pages=N, n_hosts=H, links_per_page=3)
+    robots = synth_robots(spark, n_hosts=H)
+    c = Crawler(spark, str(tmp_path / "cat_dfrq"), corpus, robots,
+                CrawlConfig(batch_size=100), run_id="dfrq")
+    c.seed([page_url(i, N, H, False) for i in range(10)])
+    c.run(30)
+    seen_before = c.catalog.table("seen").read().count()
+    assert seen_before > 20
+    front_before = (
+        c.catalog.table("frontier").read().filter(F.col("priority") == 2).count()
+    )
+
+    # predicate-driven refetch set, computed distributedly: every crawled
+    # url on host0 — plus never-crawled urls that must NOT requeue
+    latest = C.pages_latest(c)
+    want = latest.filter(F.col("host") == "host0.example").select("url")
+    n_want = want.count()
+    assert n_want > 1
+    extra = spark.createDataFrame(
+        [("http://nowhere.example/x1",), ("http://nowhere.example/x2",)], ["url"]
+    )
+    n = C.requeue_for_refetch(c, want.unionByName(extra))
+    assert n == n_want  # only urls present in `seen` requeued
+    assert c.catalog.table("seen").read().count() == seen_before - n_want
+    # frontier gained exactly the requeued urls at 'soon' priority
+    front = c.catalog.table("frontier").read().filter(F.col("priority") == 2)
+    assert front.count() == front_before + n_want
+    want_urls = {r["url"] for r in want.collect()}
+    front_urls = {r["url"] for r in front.select("url").collect()}
+    assert want_urls <= front_urls

@@ -35,6 +35,18 @@ ROBOTS = {
     H2: "User-agent: *\nDisallow: /private/\n",
 }
 
+# 3xx map (H1 only): Location values exercise absolute-path, relative
+# (RFC 9110 §10.2.2 — resolved against the request url), disallowed-target
+# and cycle shapes
+REDIRECTS = {
+    "/r/ok": "/p1",
+    "/r/rel": "../p1",
+    "/r/private": "/private/secret",
+    "/r/loop": "/r/loop2",
+    "/r/loop2": "/r/loop",
+}
+BIG_BODY = b"<html><body><p>" + b"big page " * 600 + b"</p></body></html>"
+
 
 def _page(links: list[str], text: str) -> bytes:
     anchors = "".join(f'<a href="{u}">x</a>' for u in links)
@@ -73,6 +85,19 @@ def site():
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+                return
+            if self.path in REDIRECTS and host == H1:
+                self.send_response(301)
+                self.send_header("Location", REDIRECTS[self.path])
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if self.path == "/big" and host == H1:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(BIG_BODY)))
+                self.end_headers()
+                self.wfile.write(BIG_BODY)
                 return
             if self.path == "/flaky" and host == H1:
                 with lock:
@@ -204,19 +229,18 @@ def test_etag_conditional_refetch_304_skip(spark, site, tmp_path):
     first = {r["url"]: r for r in pages_latest(c).collect()}
     assert seed in first and f"http://{H2}:{port}/p1" in first
 
-    # reopen the run with an etag-aware fetcher (provider = the server's
-    # strong etags, as a doc store would have recorded them) and recrawl p0
-    etags = {
-        f"http://{h}:{p_port}{p}": '"' + hashlib.md5(body).hexdigest() + '"'
-        for (h, p), body in universe.items()
-        for p_port in (port,)
+    # the first crawl stored the SERVER's ETag header per 200 row — the
+    # engine derives If-None-Match hints from the doc store itself
+    # (wants_etag_hints → broadcast semi-join vs pages), so the recrawl
+    # needs NO hand-built etag provider (VERDICT r4 #4)
+    stored = {
+        r["url"]: r["http_etag"]
+        for r in pages_latest(c).select("url", "http_etag").collect()
     }
+    assert stored[seed] == '"' + hashlib.md5(universe[(H2, "/p0")]).hexdigest() + '"'
     c2 = Crawler.resume(
         spark, root, corpus, robots, cfg, run_id="etag",
-        fetcher=make_network_fetch(
-            max_workers_per_task=4, timeout_s=5.0,
-            etag_provider=lambda u: etags.get(u),
-        ),
+        fetcher=make_network_fetch(max_workers_per_task=4, timeout_s=5.0),
     )
     from ospo_ghcrawler_spark.operators.control import requeue_for_refetch
 
@@ -234,3 +258,95 @@ def test_etag_conditional_refetch_304_skip(spark, site, tmp_path):
     after = {r["url"]: r for r in pages_latest(c2).collect()}
     assert after[seed]["text"] == first[seed]["text"]
     assert after[seed]["superstep"] == first[seed]["superstep"]
+
+
+def test_redirects_settle_and_reenter_via_frontier(spark, site, tmp_path):
+    """3xx is never followed in-transport: it settles under the ORIGINAL url
+    with its own status + redirect_to, and the target re-enters through the
+    normal canonicalize → robots → selection path (ADVICE r4) — so a 301 to
+    a robots-disallowed page is NEVER fetched, a relative Location resolves
+    against the request url, and a redirect cycle terminates via url-seen."""
+    port, hits, universe = site["port"], site["hits"], site["universe"]
+    u = lambda p: f"http://{H1}:{port}{p}"  # noqa: E731
+    robots = fetch_robots_df(spark, [f"http://{H1}:{port}"], budget_per_window=100)
+    corpus = spark.createDataFrame([], PAGES_SCHEMA)
+    cfg = CrawlConfig(batch_size=50, frontier_partitions=4)
+    c = Crawler(
+        spark, str(tmp_path / "cat_redir"), corpus, robots, cfg, run_id="redir",
+        fetcher=make_network_fetch(max_workers_per_task=4, timeout_s=5.0),
+    )
+    private_hits_before = hits[(H1, "/private/secret")]
+    c.seed([u("/r/ok"), u("/r/rel"), u("/r/private"), u("/r/loop")])
+    c.run(max_supersteps=8)
+
+    log = c.catalog.table("pages").read()
+    rows = {r["url"]: r for r in log.collect()}
+    # every 3xx settled under its original url, Location surfaced ABSOLUTE
+    assert rows[u("/r/ok")]["status"] == 301
+    assert rows[u("/r/ok")]["redirect_to"] == u("/p1")
+    assert rows[u("/r/ok")]["html"] is None
+    # relative Location resolved against the request url: ../p1 from /r/rel
+    assert rows[u("/r/rel")]["redirect_to"] == u("/p1")
+    # targets re-entered through the frontier: /p1 fetched exactly once
+    # (two redirects point at it; seen-dedup collapses them)
+    p1 = log.filter(F.col("url") == u("/p1")).collect()
+    assert [r["status"] for r in p1] == [200]
+    assert p1[0]["text"] == extract_text(universe[(H1, "/p1")])
+    # the disallowed target was enqueued through robots and REJECTED —
+    # the server never saw the request
+    assert rows[u("/r/private")]["redirect_to"] == u("/private/secret")
+    assert hits[(H1, "/private/secret")] == private_hits_before
+    assert u("/private/secret") not in rows
+    # the cycle terminated: each loop url settled exactly once (the back
+    # edge died in the seen anti-join), supersteps bounded
+    assert rows[u("/r/loop")]["status"] == 301
+    assert rows[u("/r/loop2")]["status"] == 301
+    assert log.filter(F.col("url").startswith(u("/r/loop"))).count() == 2
+
+
+def test_truncated_body_settles_distinctly(spark, site, tmp_path):
+    """A body longer than max_bytes settles as STATUS_TRUNCATED (498) with
+    the clipped body — never a silent 200 (ADVICE r4) — and is not retried
+    (<500: a retry cannot shrink the document)."""
+    from ospo_ghcrawler_spark.operators.network_fetch import STATUS_TRUNCATED
+
+    port, hits, _ = site["port"], site["hits"], site["universe"]
+    url = f"http://{H1}:{port}/big"
+    robots = fetch_robots_df(spark, [f"http://{H1}:{port}"], budget_per_window=100)
+    corpus = spark.createDataFrame([], PAGES_SCHEMA)
+    cap = 512
+    c = Crawler(
+        spark, str(tmp_path / "cat_big"), corpus, robots,
+        CrawlConfig(batch_size=10, frontier_partitions=2), run_id="big",
+        fetcher=make_network_fetch(max_workers_per_task=2, timeout_s=5.0, max_bytes=cap),
+    )
+    c.seed([url])
+    c.run(max_supersteps=4)
+    rows = c.catalog.table("pages").read().filter(F.col("url") == url).collect()
+    assert [r["status"] for r in rows] == [STATUS_TRUNCATED]
+    assert len(rows[0]["html"]) == cap
+    assert rows[0]["html"] == BIG_BODY[:cap]
+    assert hits[(H1, "/big")] == 1  # settled, not retried
+
+
+def test_fetch_robots_df_distributed_path(spark, site):
+    """Above the driver host-count threshold the robots fetch distributes
+    (mapInPandas over >=2 partitions of hosts) and produces the identical
+    dim the driver loop does (VERDICT r4 #3)."""
+    port = site["port"]
+    bases = [f"http://{H1}:{port}", f"http://{H2}:{port}"]
+    via_driver = fetch_robots_df(spark, bases, budget_per_window=7)
+    via_cluster = fetch_robots_df(
+        spark, bases, budget_per_window=7, driver_max_hosts=1
+    )
+    def norm(df):
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        )
+
+    assert norm(via_driver) == norm(via_cluster)
+    assert {r["host"]: list(r["disallow_prefixes"]) for r in via_cluster.collect()} == {
+        H1: ["/private/"],
+        H2: ["/private/"],
+    }
