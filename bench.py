@@ -573,12 +573,17 @@ def _size_pages(
     ladder: list[tuple[int, float]] = [(4, 14.0), (3, 14.0), (2, 14.0)]
     moderate = slowdown is not None and slowdown <= 2.2
     # moderate-or-quiet host: F-fraction is the binding constraint, not rep
-    # variance — target ≥24F with the ceiling at 32F (predict (33F)/(36F)
-    # ≈ 0.917 for the (1,4) pair) so neither a calm hour nor a typical
-    # 1.9-2.2× hour is wasted on a 14F-capped corpus (round-4 verdict #1)
-    w_cap = 32.0 if moderate else 24.0
+    # variance — target ≥24F with the ceiling at 40F (predict (41F)/(44F)
+    # ≈ 0.932 for the (1,4) pair) so neither a calm hour nor a typical
+    # 1.9-2.2× hour is wasted on a 14F-capped corpus (round-4 verdict #1).
+    # TWO pairs at a 32F floor are preferred over three at 24F: the first
+    # sized run (SCALING_NOTES §3q, 0.789 at 2.01×) chose k=3/32F but its
+    # walls overran the calibration and the equal-reps rule trimmed it to
+    # min-of-2 anyway — sizing k=2 up front spends that budget on W/F
+    # headroom instead of a rep that gets dropped
+    w_cap = 40.0 if moderate else 24.0
     if moderate:
-        ladder = [(3, 24.0), (2, 24.0), (3, 16.0), (2, 16.0)] + ladder
+        ladder = [(2, 32.0), (3, 24.0), (2, 24.0), (3, 16.0), (2, 16.0)] + ladder
     for k, floor in ladder:
         fit_Wk = fit(k)
         if fit_Wk >= floor * f:

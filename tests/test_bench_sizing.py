@@ -23,9 +23,9 @@ def test_quiet_host_prefers_size_over_reps(bench):
     _, w_quiet = bench._size_pages(budget, w, f, ov, slowdown=1.3)
     _, w_loud = bench._size_pages(budget, w, f, ov, slowdown=2.8)
     assert w_quiet > w_loud
-    # quiet sizing reaches the raised 32F cap when the budget allows
-    # (r4: a calm hour buys W/F headroom — predict (33F)/(36F) ~ 0.917)
-    assert w_quiet == pytest.approx(min(32 * f, (budget / 3 - 2 * f - 2 * ov) / 1.25))
+    # quiet sizing prefers TWO pairs at the 40F cap when the budget allows
+    # (r5: k=2 up front beats a k=3 whose third rep gets budget-trimmed)
+    assert w_quiet == pytest.approx(min(40 * f, (budget / 2 - 2 * f - 2 * ov) / 1.25))
 
 
 def test_loud_and_unknown_hosts_keep_rep_first_ladder(bench):
@@ -43,7 +43,7 @@ def test_moderate_host_targets_24f_floor(bench):
     # and predicts ~0.9.
     budget, w, f, ov = 1530.0, 0.009255, 12.7, 30.0
     _, w_mod = bench._size_pages(budget, w, f, ov, slowdown=2.1)
-    assert w_mod >= 24 * f  # clears the new floor at k=3
+    assert w_mod >= 24 * f  # clears the headroom floor
     _, w_loud = bench._size_pages(budget, w, f, ov, slowdown=2.5)
     assert w_mod > w_loud  # loud hours keep the rep-first 14F ladder
     # 2.2 is inclusive; 2.21 is not
@@ -58,5 +58,5 @@ def test_sizes_never_ratio_invalid(bench):
             f = 13.0
             pages, W = bench._size_pages(budget, 0.006, f, 30.0, slowdown=slow)
             assert pages >= 2000
-            cap = 32 * f if (slow is not None and slow <= 2.2) else 24 * f
+            cap = 40 * f if (slow is not None and slow <= 2.2) else 24 * f
             assert W <= cap + 1e-9
