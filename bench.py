@@ -573,15 +573,19 @@ def _size_pages(
     ladder: list[tuple[int, float]] = [(4, 14.0), (3, 14.0), (2, 14.0)]
     moderate = slowdown is not None and slowdown <= 2.2
     # moderate-or-quiet host: F-fraction is the binding constraint, not rep
-    # variance — target ≥24F with the ceiling at 40F (predict (41F)/(44F)
-    # ≈ 0.932 for the (1,4) pair) so neither a calm hour nor a typical
+    # variance — target ≥24F with the ceiling at 36F (predict (37F)/(40F)
+    # ≈ 0.925 for the (1,4) pair) so neither a calm hour nor a typical
     # 1.9-2.2× hour is wasted on a 14F-capped corpus (round-4 verdict #1).
     # TWO pairs at a 32F floor are preferred over three at 24F: the first
     # sized run (SCALING_NOTES §3q, 0.789 at 2.01×) chose k=3/32F but its
     # walls overran the calibration and the equal-reps rule trimmed it to
     # min-of-2 anyway — sizing k=2 up front spends that budget on W/F
-    # headroom instead of a rep that gets dropped
-    w_cap = 40.0 if moderate else 24.0
+    # headroom instead of a rep that gets dropped. The ceiling is 36F, not
+    # 40F: the 40F probe (0.848 at 2.17×, §3q) lost its SECOND pair to
+    # build/overhead underestimates and landed min-of-1 — 36F keeps the
+    # predict within 0.007 of 40F while the budget demonstrably fits two
+    # full pairs (spike protection the min-of-1 sample lacks)
+    w_cap = 36.0 if moderate else 24.0
     if moderate:
         ladder = [(2, 32.0), (3, 24.0), (2, 24.0), (3, 16.0), (2, 16.0)] + ladder
     for k, floor in ladder:

@@ -23,9 +23,9 @@ def test_quiet_host_prefers_size_over_reps(bench):
     _, w_quiet = bench._size_pages(budget, w, f, ov, slowdown=1.3)
     _, w_loud = bench._size_pages(budget, w, f, ov, slowdown=2.8)
     assert w_quiet > w_loud
-    # quiet sizing prefers TWO pairs at the 40F cap when the budget allows
+    # quiet sizing prefers TWO pairs at the 36F cap when the budget allows
     # (r5: k=2 up front beats a k=3 whose third rep gets budget-trimmed)
-    assert w_quiet == pytest.approx(min(40 * f, (budget / 2 - 2 * f - 2 * ov) / 1.25))
+    assert w_quiet == pytest.approx(min(36 * f, (budget / 2 - 2 * f - 2 * ov) / 1.25))
 
 
 def test_loud_and_unknown_hosts_keep_rep_first_ladder(bench):
@@ -58,5 +58,5 @@ def test_sizes_never_ratio_invalid(bench):
             f = 13.0
             pages, W = bench._size_pages(budget, 0.006, f, 30.0, slowdown=slow)
             assert pages >= 2000
-            cap = 40 * f if (slow is not None and slow <= 2.2) else 24 * f
+            cap = 36 * f if (slow is not None and slow <= 2.2) else 24 * f
             assert W <= cap + 1e-9
