@@ -143,7 +143,20 @@ BENCH_QUERIES = [
     "winnow_fingerprint_fast", "winnow_fingerprint",
     "oph_minhash_lsh", "minhash_lsh", "neardup_clusters",
     "neardup_keep_best", "incremental_neardup",
+    # full-registry tail (round-5: every registry key gets a timing —
+    # the driver's per-round record must cover all 97, VERDICT r4 #2)
+    "mix_weights", "gopher_quality", "url_trap", "dust_rules", "dust_apply",
+    "token_rarity", "semdedup", "embedding_neardup", "embedding_neardup_lsh",
+    "ann_ivf_exhaustive", "policy_scope", "urn_identity", "doc_lookup",
+    "ngram_jaccard", "ngram_containment", "simhash_pairs",
+    "classifier_score", "host_boilerplate",
 ]
+
+# quadratic-by-design all-pairs ORACLES (labeled as such in the registry;
+# the first-class scale paths are their *_lsh / banded twins): timed at
+# sf0.01 always — an O(n²) pass over the sf0.1 tables is not a meaningful
+# throughput number and would eat the budget of every query behind it
+SMALL_SF_ONLY = {"ngram_jaccard", "ngram_containment", "embedding_neardup"}
 
 
 def _remaining() -> float:
@@ -1018,16 +1031,19 @@ def main() -> None:
                 break
             if qspark is None:
                 qspark = get_spark("bench_queries", cores=CPUS, shuffle_partitions=CPUS)
+            use_dir, use_sf = q_dir, q_sf
+            if name in SMALL_SF_ONLY and os.path.isdir(small_dir):
+                use_dir, use_sf = small_dir, 0.01
             t0 = time.time()
             try:
-                Q.QUERIES[name](qspark, q_dir).write.format("noop").mode(
+                Q.QUERIES[name](qspark, use_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
             except Exception as e:  # one bad query must not erase the
                 errors.append(f"query {name}: {type(e).__name__}")  # run's evidence
                 continue
             timings[name] = round(time.time() - t0, 3)
-            query_sf[name] = q_sf
+            query_sf[name] = use_sf
             # per-op caches (shingle/signature passes and the shared
             # neardup prefix) are scoped to one query: clear BOTH so
             # timings stay cold-path honest and localCheckpoint-pinned
