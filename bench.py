@@ -556,51 +556,49 @@ def _size_pages(
     predict(W) = (W+F)/(W+4F) for the (1,4) pair; pair wall =
     W·(1/lo + 1/hi) + 2F + 2·overhead.
 
-    The reps-vs-size tradeoff is NOISE-ADAPTIVE (the calibration's measured
-    *slowdown* is the noise proxy — SCALING_NOTES §3j shows the measured
-    ratio is a dose-response of it):
+    The ladder is W/F-HEADROOM-FIRST at every slowdown (SCALING_NOTES §3r).
+    Round 3-5 evidence settled the reps-vs-size tradeoff decisively:
 
-    - LOUD host (slowdown > 2.2 or unknown): identical legs swing ±30-40%
-      wall (a single-rep ratio measured 0.63 where best-of-reps gave
-      ≥0.78), so REPS dominate — prefer the most pairs clearing the 14F
-      ratio-validity floor (predict ≥ 0.833), up to four, capped at 24F.
-    - MODERATE host (slowdown ≤ 2.2): two rounds of evidence (r3+r4: the
-      host never read ≤1.7× across 12 completed runs, so the quiet-only
-      32F path never triggered while every 14F-sized run ceilinged at
-      predict 0.836) say the W/F-headroom-first sizing must also fire on
-      moderately loud hours. The round-4 arithmetic: measured 0.702 at
-      W=14F implies runtime F ≈ 2× calibrated — raising W to ≥24F
-      (predict (25F)/(28F) ≈ 0.893, and ≈0.917 at the 32F cap) buys back
-      the fixed-cost fraction that noise inflates. Prefer THREE pairs at
-      a 24F floor, then two; min-of-3 absorbs the residual rep jitter
-      (within-run rep noise dominates the slowdown→ratio mapping,
-      SCALING_NOTES §3o — a 2.0-2.2× hour with min-of-3 still clears 0.8
-      when W/F is high enough: both gate-clearing samples landed on
-      2.0-2.1× hours).
+    - The rep-first 14F path NEVER cleared the gate: across 16 completed
+      14F-sized runs at 1.84-2.43× (r3+r4 campaigns, runs.jsonl) the best
+      measured 0.772 — its predict ceiling is (15F)/(18F) ≈ 0.833 and the
+      noise dose lands mostly on the latency-bound fixed fraction, pushing
+      measured to 0.70-0.77. Both driver misses (r3 0.725 at 2.41×, r4
+      0.702 at 2.43×) routed through this path via the old >2.2× tier.
+    - W-first sizing cleared the gate three times in one night (0.848 at
+      2.17×, 0.939 at 1.80×, 0.820 at 1.96× — §3q), including on an hour
+      the old tiering would have called LOUD. The measured dose-response
+      moves exactly as Amdahl predicts: +0.08 from 14F→23F, +0.05-0.15
+      more from 23F→36-40F.
+    - A slow host shrinks fit(k) automatically (w and f are MEASURED this
+      run), so the ladder degrades gracefully: a genuinely starved budget
+      falls through to the rep-first rungs, then the single-pair 16F
+      fallback. There is no hour where deliberately sizing small wins —
+      a structural ~0.77 ceiling loses to a W/F coin-flip at every
+      measured slowdown.
+
+    TWO pairs at a 32F floor are preferred over three at 24F: the first
+    sized run (§3q, 0.789 at 2.01×) chose k=3/32F but its walls overran
+    the calibration and the equal-reps rule trimmed it to min-of-2 anyway —
+    sizing k=2 up front spends that budget on W/F headroom instead of a
+    rep that gets dropped. The ceiling is 36F, not 40F: the 40F probe
+    (0.848 at 2.17×, §3q) lost its SECOND pair to build/overhead
+    underestimates and landed min-of-1 — 36F keeps the predict within
+    0.007 of 40F while the budget demonstrably fits two full pairs (spike
+    protection the min-of-1 sample lacks). `slowdown` is retained for
+    disclosure in the run record; it no longer gates the ladder.
     """
+    del slowdown  # disclosed upstream; no longer a sizing input (§3r)
     per_core = 1 / CORES_LO + 1 / CORES_HI
 
     def fit(k: int) -> float:
         return (raw_budget_s / k - 2 * f - 2 * sub_overhead_s) / per_core
 
-    ladder: list[tuple[int, float]] = [(4, 14.0), (3, 14.0), (2, 14.0)]
-    moderate = slowdown is not None and slowdown <= 2.2
-    # moderate-or-quiet host: F-fraction is the binding constraint, not rep
-    # variance — target ≥24F with the ceiling at 36F (predict (37F)/(40F)
-    # ≈ 0.925 for the (1,4) pair) so neither a calm hour nor a typical
-    # 1.9-2.2× hour is wasted on a 14F-capped corpus (round-4 verdict #1).
-    # TWO pairs at a 32F floor are preferred over three at 24F: the first
-    # sized run (SCALING_NOTES §3q, 0.789 at 2.01×) chose k=3/32F but its
-    # walls overran the calibration and the equal-reps rule trimmed it to
-    # min-of-2 anyway — sizing k=2 up front spends that budget on W/F
-    # headroom instead of a rep that gets dropped. The ceiling is 36F, not
-    # 40F: the 40F probe (0.848 at 2.17×, §3q) lost its SECOND pair to
-    # build/overhead underestimates and landed min-of-1 — 36F keeps the
-    # predict within 0.007 of 40F while the budget demonstrably fits two
-    # full pairs (spike protection the min-of-1 sample lacks)
-    w_cap = 36.0 if moderate else 24.0
-    if moderate:
-        ladder = [(2, 32.0), (3, 24.0), (2, 24.0), (3, 16.0), (2, 16.0)] + ladder
+    w_cap = 36.0
+    ladder: list[tuple[int, float]] = [
+        (2, 32.0), (3, 24.0), (2, 24.0), (3, 16.0), (2, 16.0),
+        (4, 14.0), (3, 14.0), (2, 14.0),
+    ]
     for k, floor in ladder:
         fit_Wk = fit(k)
         if fit_Wk >= floor * f:

@@ -1,6 +1,8 @@
-"""Pins for bench.py's noise-adaptive pair sizing (pure arithmetic — no
-Spark): the reps-vs-size ladder must prefer repetitions on loud hosts and
-W/F headroom on quiet ones, and never emit a ratio-invalid size."""
+"""Pins for bench.py's pair sizing (pure arithmetic — no Spark): the
+ladder is W/F-headroom-first at EVERY measured slowdown (SCALING_NOTES
+§3r — the rep-first 14F path never cleared the 0.8 gate across 16 runs
+while W-first cleared it three times in one night, including on a 2.17×
+hour), and it must never emit a ratio-invalid size."""
 
 import importlib.util
 from pathlib import Path
@@ -18,45 +20,44 @@ def bench():
     return mod
 
 
-def test_quiet_host_prefers_size_over_reps(bench):
+def test_slowdown_no_longer_gates_sizing(bench):
+    # §3r: both r3 and r4 driver runs calibrated ~2.4× and were routed to
+    # the structurally-capped 14F ladder by the old tiering. The W-first
+    # ladder now fires identically at any slowdown, including unknown.
     budget, w, f, ov = 1360.0, 0.0044, 12.0, 30.0
-    _, w_quiet = bench._size_pages(budget, w, f, ov, slowdown=1.3)
-    _, w_loud = bench._size_pages(budget, w, f, ov, slowdown=2.8)
-    assert w_quiet > w_loud
-    # quiet sizing prefers TWO pairs at the 36F cap when the budget allows
-    # (r5: k=2 up front beats a k=3 whose third rep gets budget-trimmed)
-    assert w_quiet == pytest.approx(min(36 * f, (budget / 2 - 2 * f - 2 * ov) / 1.25))
+    sizes = {
+        slow: bench._size_pages(budget, w, f, ov, slowdown=slow)
+        for slow in (None, 1.3, 2.1, 2.43, 2.8)
+    }
+    vals = set(sizes.values())
+    assert len(vals) == 1, sizes
+    # and that one size is the k=2 / 36F-capped headroom choice
+    _, W = vals.pop()
+    assert W == pytest.approx(min(36 * f, (budget / 2 - 2 * f - 2 * ov) / 1.25))
 
 
-def test_loud_and_unknown_hosts_keep_rep_first_ladder(bench):
-    budget, w, f, ov = 1360.0, 0.006, 12.0, 30.0
-    _, w_none = bench._size_pages(budget, w, f, ov, slowdown=None)
-    _, w_loud = bench._size_pages(budget, w, f, ov, slowdown=2.5)
-    assert w_none == w_loud  # unknown slowdown treated as loud
-
-
-def test_moderate_host_targets_24f_floor(bench):
-    # round-4 verdict #1: the W/F-headroom ladder must also fire on
-    # moderately loud (<=2.2x) hours — the host rarely reads <=1.7x, so
-    # the quiet-only gate never triggered across two rounds. At the r04
-    # driver budget (1650 s, f=12.7, ov=30) a 3-pair 24F-floor corpus fits
-    # and predicts ~0.9.
+def test_driver_budget_at_loud_hour_clears_headroom_floor(bench):
+    # the r04 driver scenario (1650 s budget, f≈12.7, 2.43× host) must now
+    # size ≥24F — the posture that predicts ~0.9 instead of ceiling 0.836
     budget, w, f, ov = 1530.0, 0.009255, 12.7, 30.0
-    _, w_mod = bench._size_pages(budget, w, f, ov, slowdown=2.1)
-    assert w_mod >= 24 * f  # clears the headroom floor
-    _, w_loud = bench._size_pages(budget, w, f, ov, slowdown=2.5)
-    assert w_mod > w_loud  # loud hours keep the rep-first 14F ladder
-    # 2.2 is inclusive; 2.21 is not
-    _, w_edge = bench._size_pages(budget, w, f, ov, slowdown=2.2)
-    assert w_edge == w_mod
+    _, W = bench._size_pages(budget, w, f, ov, slowdown=2.43)
+    assert W >= 24 * f
+
+
+def test_starved_budget_degrades_to_rep_first_then_fallback(bench):
+    # a budget that cannot fit 2 pairs at 16F falls through to the
+    # rep-first rungs / single-pair fallback instead of erroring
+    f = 13.0
+    pages, W = bench._size_pages(400.0, 0.006, f, 30.0, slowdown=2.0)
+    assert pages >= 2000
+    assert W <= 16 * f + 1e-9
 
 
 def test_sizes_never_ratio_invalid(bench):
-    # every emitted W clears the single-pair fallback floor in time units
+    # every emitted W respects the 36F cap and the page floor
     for budget in (400.0, 900.0, 1650.0, 3000.0):
         for slow in (None, 1.2, 1.7, 2.0, 2.2, 3.0):
             f = 13.0
             pages, W = bench._size_pages(budget, 0.006, f, 30.0, slowdown=slow)
             assert pages >= 2000
-            cap = 36 * f if (slow is not None and slow <= 2.2) else 24 * f
-            assert W <= cap + 1e-9
+            assert W <= 36 * f + 1e-9
