@@ -595,12 +595,20 @@ def _size_pages(
         return (raw_budget_s / k - 2 * f - 2 * sub_overhead_s) / per_core
 
     w_cap = 36.0
+    # Single-pair rung (k=1): multi-rep rungs self-heal when big-corpus
+    # walls overrun the calibration model (§3q's systematic ~1.45×
+    # overshoot — the equal-reps rule drops the trimmed rep), but a
+    # min-of-1 group has nothing to drop, so it must be sized against the
+    # OVERSHOT budget up front or the final hi leg lands on the budget
+    # edge and the run risks the driver's kill timeout.
+    OVERSHOOT = 1.45
+    fit_1 = (raw_budget_s / OVERSHOOT - 2 * f - 2 * sub_overhead_s) / per_core
     ladder: list[tuple[int, float]] = [
-        (2, 32.0), (3, 24.0), (2, 24.0), (3, 16.0), (2, 16.0),
+        (2, 32.0), (3, 24.0), (2, 24.0), (1, 24.0), (3, 16.0), (2, 16.0),
         (4, 14.0), (3, 14.0), (2, 14.0),
     ]
     for k, floor in ladder:
-        fit_Wk = fit(k)
+        fit_Wk = fit_1 if k == 1 else fit(k)
         if fit_Wk >= floor * f:
             target_W = min(w_cap * f, fit_Wk)
             break

@@ -44,6 +44,19 @@ def test_driver_budget_at_loud_hour_clears_headroom_floor(bench):
     assert W >= 24 * f
 
 
+def test_single_pair_rung_fires_in_the_driver_budget_regime(bench):
+    # clean driver run: legs_budget ≈ 1340 s with measured f ≈ 21 s.
+    # fit(2)=454 < the 24F floor (506), so pre-§3r the ladder fell to
+    # (2,16F) → target 454 and the overshoot degraded it to min-of-1 at
+    # SMALL W — worst of both regimes. The k=1 rung sizes against the
+    # overshot budget (legs_budget/1.45) and must pick ~31F here.
+    budget, w, f, ov = 1340.0, 0.004314, 21.1, 30.0
+    _, W = bench._size_pages(budget, w, f, ov, slowdown=2.0)
+    expect = (budget / 1.45 - 2 * f - 2 * ov) / 1.25
+    assert W == pytest.approx(min(36 * f, expect))
+    assert W >= 24 * f
+
+
 def test_starved_budget_degrades_to_rep_first_then_fallback(bench):
     # a budget that cannot fit 2 pairs at 16F falls through to the
     # rep-first rungs / single-pair fallback instead of erroring
