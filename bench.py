@@ -594,7 +594,13 @@ def _size_pages(
     def fit(k: int) -> float:
         return (raw_budget_s / k - 2 * f - 2 * sub_overhead_s) / per_core
 
-    w_cap = 36.0
+    # The cap's f is floored at 20 s for SIZING only: the 3k-page probes
+    # measured f at 11.9 and 21.1 within 40 minutes of each other on the
+    # same host, while every completed pair's Amdahl decomposition put the
+    # RUNTIME F at 24-46 s — a low f draw must not halve the corpus the
+    # cap allows. Budget-validity floors keep the measured f (they guard
+    # wall fit, not headroom).
+    w_cap_cs = 36.0 * max(f, 20.0)
     # Single-pair rung (k=1): multi-rep rungs self-heal when big-corpus
     # walls overrun the calibration model (§3q's systematic ~1.45×
     # overshoot — the equal-reps rule drops the trimmed rep), but a
@@ -610,7 +616,7 @@ def _size_pages(
     for k, floor in ladder:
         fit_Wk = fit_1 if k == 1 else fit(k)
         if fit_Wk >= floor * f:
-            target_W = min(w_cap * f, fit_Wk)
+            target_W = min(w_cap_cs, fit_Wk)
             break
     else:
         fit_W1 = (raw_budget_s * 0.75 - 2 * f - 2 * sub_overhead_s) / per_core
@@ -762,12 +768,26 @@ def main() -> None:
         budget_cap = max(60.0, _remaining() - 15)
         est = leg_est(cores, pages)
         g_obs = groups.get(pages)
+        side_walls = []
         if g_obs:
             side_walls = [
                 r["wall_sec"] for r in (g_obs["hi"] if cores == hi else g_obs["lo"])
             ]
-            if side_walls:
-                est = max(est, min(side_walls))
+        if side_walls:
+            est = max(est, min(side_walls))
+        else:
+            # no wall at THIS size yet (up-/down-sized group): scale the
+            # best observed wall of the largest measured group — an
+            # up-sized leg must not be killed by a timeout cap computed
+            # from a calibration slope that under-read the real cost
+            for q in sorted(groups, reverse=True):
+                ws = [
+                    r["wall_sec"]
+                    for r in (groups[q]["hi"] if cores == hi else groups[q]["lo"])
+                ]
+                if ws and q != pages:
+                    est = max(est, min(ws) * pages / q)
+                    break
         if cores == hi:
             reserve_lo = leg_est(lo, pages) * 1.1 + 20
             t_leg = min(max(90.0, 2.5 * est + 30),
@@ -853,6 +873,7 @@ def main() -> None:
         _write_partial(partial)
         cur_n, cur_dir = n_pages, corpus_dir
         resized_for_slowdown = False
+        resized_up = False
         while True:
             # hi side FIRST, alone: it costs a quarter of the lo side, and
             # its observed per-page cost is a live probe of the host's
@@ -913,9 +934,39 @@ def main() -> None:
             # (The first full-budget round-3 run declined a same-size
             # repeat by a 28 s margin and reported a single-rep 0.784.)
             pref = cur_n if cur_n in done else max(done)
-            lo_b, _, _ = group_best(done[pref])
+            lo_b, hi_b, _ = group_best(done[pref])
             w_obs = max(w_cal, lo * (lo_b["wall_sec"] - f_cal) / pref)
             per_core = 1 / lo + 1 / hi
+            # §3r: Amdahl decomposition of the completed pair — the LIVE
+            # truth about W and F under current noise. The calibration
+            # constants measured ±2× between same-hour runs (f 11.9 vs
+            # 21.1, w 4.3 vs 8.6 within 40 min), so an initial sizing can
+            # land structurally under-headroomed; once a pair is measured,
+            # the decomposition is exact: T_lo = W/lo + F, T_hi = W/hi + F.
+            W_cs = max(
+                (lo_b["wall_sec"] - hi_b["wall_sec"]) / (1 / lo - 1 / hi), 1.0
+            )
+            F_obs = max(lo_b["wall_sec"] - W_cs / lo, 5.0)
+            if not resized_up and W_cs < 22 * F_obs:
+                # under-headroomed group (predict < ~0.79 at 4× F-fraction):
+                # spend the remaining budget on ONE up-sized pair instead of
+                # accumulating reps of a structurally-capped corpus —
+                # min-of-4 of a 0.75-predict group is still 0.75, while the
+                # headline picks the best-efficiency COMPLETED group.
+                have_up = _remaining() - build_est - 60
+                W_up = min(
+                    (have_up / 1.1 - 2 * F_obs - 2 * sub_ov) / per_core,
+                    36 * F_obs,
+                )
+                p_up = int(pref * W_up / W_cs)
+                if W_up >= 1.35 * W_cs and 1.35 * pref <= p_up <= MAX_PAGES:
+                    resized_up = True
+                    d_up = build_corpus(p_up, f"up{p_up}")
+                    partial.setdefault("resized_pairs", []).append(p_up)
+                    _write_partial(partial)
+                    run_pair(p_up, d_up, ("hi", "lo"))
+                    cur_n, cur_dir = p_up, d_up
+                    continue
             cost_same = w_obs * cur_n * per_core + 2 * f_cal + 2 * sub_ov
             if _remaining() - 60 > cost_same * 1.05:
                 run_pair(cur_n, cur_dir, ("lo", "hi"))

@@ -33,7 +33,9 @@ def test_slowdown_no_longer_gates_sizing(bench):
     assert len(vals) == 1, sizes
     # and that one size is the k=2 / 36F-capped headroom choice
     _, W = vals.pop()
-    assert W == pytest.approx(min(36 * f, (budget / 2 - 2 * f - 2 * ov) / 1.25))
+    assert W == pytest.approx(
+        min(36 * max(f, 20.0), (budget / 2 - 2 * f - 2 * ov) / 1.25)
+    )
 
 
 def test_driver_budget_at_loud_hour_clears_headroom_floor(bench):
@@ -53,7 +55,7 @@ def test_single_pair_rung_fires_in_the_driver_budget_regime(bench):
     budget, w, f, ov = 1340.0, 0.004314, 21.1, 30.0
     _, W = bench._size_pages(budget, w, f, ov, slowdown=2.0)
     expect = (budget / 1.45 - 2 * f - 2 * ov) / 1.25
-    assert W == pytest.approx(min(36 * f, expect))
+    assert W == pytest.approx(min(36 * max(f, 20.0), expect))
     assert W >= 24 * f
 
 
@@ -73,4 +75,4 @@ def test_sizes_never_ratio_invalid(bench):
             f = 13.0
             pages, W = bench._size_pages(budget, 0.006, f, 30.0, slowdown=slow)
             assert pages >= 2000
-            assert W <= 36 * f + 1e-9
+            assert W <= 36 * max(f, 20.0) + 1e-9
