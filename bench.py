@@ -751,7 +751,10 @@ def main() -> None:
     def pair_est(pages: int) -> float:
         return leg_est(lo, pages) + leg_est(hi, pages)
 
-    def leg(cores: int, into: list[dict], label: str, pages: int, cdir: str) -> bool:
+    def leg(
+        cores: int, into: list[dict], label: str, pages: int, cdir: str,
+        reserve_s: float = 0.0,
+    ) -> bool:
         """One crawl leg. Both legs get MODEL-capped timeouts (host spikes
         measured ~10x on 2026-08-17 — an uncapped leg lets one spike consume
         the whole budget); the hi cap additionally reserves the lo leg's
@@ -789,9 +792,13 @@ def main() -> None:
                     est = max(est, min(ws) * pages / q)
                     break
         if cores == hi:
-            reserve_lo = leg_est(lo, pages) * 1.1 + 20
+            # reserve_s protects a STILL-PENDING lo leg of this pair
+            # attempt; a trailing hi (lo already measured) reserves
+            # nothing — on 2026-08-21 a hardcoded lo reserve clamped a
+            # trailing hi rep to its 90 s floor and killed it, wasting
+            # the 421 s lo rep that preceded it
             t_leg = min(max(90.0, 2.5 * est + 30),
-                        max(90.0, budget_cap - reserve_lo))
+                        max(90.0, budget_cap - reserve_s))
         else:
             t_leg = min(max(90.0, 2.2 * est + 30), budget_cap)
         try:
@@ -836,8 +843,14 @@ def main() -> None:
         first, second = order
         for side in (first, second):
             cores_s, runs = (hi, g["hi"]) if side == "hi" else (lo, g["lo"])
+            res = (
+                leg_est(lo, pages) * 1.1 + 20
+                if side == "hi" and side == first and second == "lo"
+                else 0.0
+            )
             if not leg(
-                cores_s, runs, f"{side}_p{pages}_{len(runs) + 1}", pages, cdir
+                cores_s, runs, f"{side}_p{pages}_{len(runs) + 1}", pages, cdir,
+                reserve_s=res,
             ):
                 return False
         return True
@@ -884,7 +897,10 @@ def main() -> None:
             # leg lands far over model, resize once BEFORE paying 4× that
             # overrun on the lo side.
             g1 = groups.setdefault(cur_n, {"dir": cur_dir, "lo": [], "hi": []})
-            hi_ok = leg(hi, g1["hi"], f"hi_p{cur_n}_{len(g1['hi']) + 1}", cur_n, cur_dir)
+            hi_ok = leg(
+                hi, g1["hi"], f"hi_p{cur_n}_{len(g1['hi']) + 1}", cur_n, cur_dir,
+                reserve_s=leg_est(lo, cur_n) * 1.1 + 20,
+            )
             if hi_ok and not resized_for_slowdown:
                 w_live = hi * max(g1["hi"][-1]["wall_sec"] - f_cal, 1.0) / cur_n
                 if w_live > 1.35 * w_cal:
